@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: photon throughput on the example.png scene (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "photons_per_s", "value": N, "unit": "photons/s",
+   "vs_baseline": R}
+
+vs_baseline compares against the reference's own engine measured on this
+machine (its sequential C photon mapper — the only reference engine that runs
+here; the OpenCL GPU path has no GPU). The measured number is cached in
+BASELINE_MEASURED.json; when absent, vs_baseline is null.
+
+Runs on whatever JAX platform the environment provides (the real TPU chip
+under the driver; CPU elsewhere via FLATMATCH_BENCH_CPU=1).
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+if os.environ.get("FLATMATCH_BENCH_CPU") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import numpy as np  # noqa: E402
+
+from flatmatch_tpu.config import PhotonConfig  # noqa: E402
+from flatmatch_tpu.engines import photon  # noqa: E402
+from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects  # noqa: E402
+from flatmatch_tpu.scene import geometry, image as im, layout  # noqa: E402
+
+SCENE_PNG = pathlib.Path("/root/reference/example.png")
+if not SCENE_PNG.exists():
+    SCENE_PNG = REPO / "tests" / "fixtures" / "mini.png"
+
+TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
+BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 17))
+
+
+def main():
+    img = im.load_layout(str(SCENE_PNG))
+    lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+
+    # choose samples_per_area so the total budget ~= TARGET_PHOTONS
+    probe = pack_emitters(scene, 1.0, (18, 18, 18), (16, 16, 18))
+    total_area = float(np.asarray(probe.area).sum())
+    spa = TARGET_PHOTONS / total_area
+    cfg = PhotonConfig(samples_per_area=spa, photons_per_batch=BATCH, seed=0)
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)
+    n_photons = int(np.asarray(emitters.counts).sum())
+
+    # warmup/compile with a tiny budget at identical shapes
+    warm = pack_emitters(scene, spa / 256, cfg.window_color, cfg.light_color)
+    photon.render_photons(rects, warm, scene.num_texels, cfg).block_until_ready()
+
+    t0 = time.perf_counter()
+    lm = photon.render_photons(rects, emitters, scene.num_texels, cfg)
+    lm.block_until_ready()
+    dt = time.perf_counter() - t0
+    rate = n_photons / dt
+
+    vs = None
+    baseline_file = REPO / "BASELINE_MEASURED.json"
+    if baseline_file.exists():
+        ref = json.loads(baseline_file.read_text())
+        ref_rate = ref.get("reference_photons_per_s")
+        if ref_rate:
+            vs = rate / ref_rate
+
+    print(
+        json.dumps(
+            {
+                "metric": "photons_per_s",
+                "value": round(rate, 1),
+                "unit": "photons/s",
+                "vs_baseline": None if vs is None else round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Command-line interface.
+
+  python -m flatmatch_tpu.cli render <layout.png> [scale] [options]
+  python -m flatmatch_tpu.cli package <layout.png> <offer_id> <scale> \
+         <lat> <lon> <yaw> <level> [options]
+
+`render` is the TPU-native `./globalIllumination <png> [scale]`
+(/root/reference/main.c:17-32); `package` is the TPU-native
+`generate_flatmatch_entry.py` (generate_flatmatch_entry.py:10-20). Unlike the
+reference, the engine and physics constants are selectable via flags instead
+of requiring a recompile (README.md:16; SURVEY.md §5 Config).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from .config import DEFAULT_CONFIG, Engine
+
+
+def _add_engine_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--engine",
+        choices=[e.value for e in Engine],
+        default=DEFAULT_CONFIG.engine.value,
+        help="illumination engine (reference MODE enum, main.c:14)",
+    )
+    p.add_argument(
+        "--samples-per-area",
+        type=float,
+        default=DEFAULT_CONFIG.photon.samples_per_area,
+        help="photons per m^2 of emitter area (main.c:58)",
+    )
+    p.add_argument("--seed", type=int, default=DEFAULT_CONFIG.photon.seed)
+    p.add_argument(
+        "--photons-per-batch",
+        type=int,
+        default=DEFAULT_CONFIG.photon.photons_per_batch,
+    )
+    p.add_argument("--out", default=".", help="output directory")
+
+
+def _build_cfg(args):
+    cfg = DEFAULT_CONFIG.replace(engine=Engine(args.engine))
+    return cfg.replace(
+        photon=dataclasses.replace(
+            cfg.photon,
+            samples_per_area=args.samples_per_area,
+            seed=args.seed,
+            photons_per_batch=args.photons_per_batch,
+        )
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="flatmatch_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_render = sub.add_parser("render", help="render lightmap tiles")
+    p_render.add_argument("layout", help="layout PNG path")
+    p_render.add_argument(
+        "scale", nargs="?", type=float, default=30.0, help="pixels per meter"
+    )
+    _add_engine_flags(p_render)
+
+    p_pkg = sub.add_parser("package", help="render + assemble REST tree")
+    p_pkg.add_argument("layout")
+    p_pkg.add_argument("offer_id", type=int)
+    p_pkg.add_argument("scale", type=float)
+    p_pkg.add_argument("latitude", type=float)
+    p_pkg.add_argument("longitude", type=float)
+    p_pkg.add_argument("yaw", type=float)
+    p_pkg.add_argument("level", type=int)
+    _add_engine_flags(p_pkg)
+
+    args = parser.parse_args(argv)
+    cfg = _build_cfg(args)
+
+    if args.cmd == "render":
+        from .render import render
+
+        render(args.layout, args.out, args.scale, cfg)
+        return 0
+    if args.cmd == "package":
+        from .io.rest import package_offer
+
+        package_offer(
+            args.layout,
+            args.offer_id,
+            args.scale,
+            args.latitude,
+            args.longitude,
+            args.yaw,
+            args.level,
+            args.out,
+            cfg,
+        )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,7 +80,7 @@ class AoConfig:
     geosphere_level: int = 4              # photonmap.c:450 (geoSphere4, 481 dirs)
     sky_distance: float = 10.0            # photonmap.c:465
     normalization: float = 1.5            # photonmap.c:473
-    texels_per_chunk: int = 2048          # TPU batching knob
+    texels_per_chunk: int = 512           # TPU batching knob
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,82 @@
+"""FlatMatch REST folder-tree packager.
+
+TPU-native equivalent of the outer CLI driver
+(/root/reference/generate_flatmatch_entry.py): run the renderer, splice the
+collision map / geometry / georeference args into the offer template, and lay
+out `rest/get/{offer,layout,textures}/<id>` with base64 tile PNGs for the
+FlatMatch WebGL viewer. The renderer is called in-process instead of via
+subprocess (generate_flatmatch_entry.py:37-38) — there is no separate binary.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import pathlib
+import shutil
+from typing import Optional
+
+from ..config import RenderConfig
+from ..render import render
+
+# Offer skeleton mirroring offer_template.json: $-placeholders spliced
+# textually so `collisionMap` and `layout` keep the renderer's exact JSON
+# bytes (generate_flatmatch_entry.py:40-51).
+OFFER_TEMPLATE = """{
+    "rowid": $ROW_ID,
+    "collisionMap": $COLLISION_MAP,
+    "lon": $LONGITUDE,
+    "layoutId": $ROW_ID,
+    "level": $LEVEL,
+    "lat": $LATITUDE,
+    "layout": $LAYOUT,
+    "scale": $SCALE,
+    "yaw": $YAW
+}
+"""
+
+
+def package_offer(
+    source_image: str,
+    offer_id: int,
+    scale: float,
+    latitude: float,
+    longitude: float,
+    yaw: float,
+    level: int,
+    out_dir: str = ".",
+    cfg: Optional[RenderConfig] = None,
+    template: Optional[str] = None,
+) -> pathlib.Path:
+    """Render and assemble the REST tree; returns the `rest/` root path."""
+    out = pathlib.Path(out_dir)
+    tiles_dir = out / "tiles"
+    if tiles_dir.exists():
+        shutil.rmtree(tiles_dir)
+
+    result = render(source_image, str(out), scale, cfg)
+
+    tpl = template if template is not None else OFFER_TEMPLATE
+    tpl = tpl.replace("$COLLISION_MAP", result.collision_json)
+    tpl = tpl.replace("$LONGITUDE", str(longitude))
+    tpl = tpl.replace("$LATITUDE", str(latitude))
+    tpl = tpl.replace("$LEVEL", str(level))
+    tpl = tpl.replace("$SCALE", str(scale))
+    tpl = tpl.replace("$YAW", str(yaw))
+    tpl = tpl.replace("$LAYOUT", result.geometry_json)
+    tpl = tpl.replace("$ROW_ID", str(offer_id))
+
+    rest = out / "rest" / "get"
+    (rest / "offer").mkdir(parents=True, exist_ok=True)
+    (rest / "layout").mkdir(parents=True, exist_ok=True)
+    (rest / "textures").mkdir(parents=True, exist_ok=True)
+
+    (rest / "offer" / str(offer_id)).write_text(tpl)
+    (rest / "layout" / str(offer_id)).write_bytes(
+        pathlib.Path(source_image).read_bytes()
+    )
+    textures = {
+        str(i): base64.b64encode(p.read_bytes()).decode("ascii")
+        for i, p in enumerate(result.tile_paths)
+    }
+    (rest / "textures" / str(offer_id)).write_text(json.dumps(textures))
+    return out / "rest"

@@ -1,0 +1,132 @@
+"""Top-level render pipeline driver.
+
+TPU-native equivalent of the reference main() (/root/reference/main.c:17-101):
+layout PNG -> collision map JSON -> scene compile -> geometry JSON -> chosen
+illumination engine -> exposure normalization -> per-wall lightmap tiles.
+All magic constants live in config.RenderConfig (SURVEY.md §5 Config).
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Optional
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, Engine, RenderConfig
+from .io import tiles as tiles_io
+from .ops.device_scene import exposure_scale, pack_emitters, pack_rects
+from .scene import collision, geometry, image as im, layout
+
+f32 = np.float32
+
+
+@dataclasses.dataclass
+class RenderResult:
+    scene: geometry.Scene
+    texels: np.ndarray          # [num_texels, 3] float32, post-normalization
+    tile_paths: list
+    geometry_json: str
+    collision_json: str
+
+
+def compile_scene(layout_png: str, scale: float, cfg: RenderConfig):
+    """Layout PNG -> compiled scene + collision JSON (main.c:33-52)."""
+    img = im.load_layout(layout_png)
+    collision_json = collision.build_collision_map(img)
+    lay = layout.parse_layout(
+        img, f32(1.0) / f32(scale), cfg.scene.tile_size, cfg.scene
+    )
+    return geometry.Scene(lay), collision_json
+
+
+def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
+    """Dispatch the configured illumination engine (main.c:60-66) and apply
+    photon exposure normalization where the reference does (main.c:68-79)."""
+    if cfg.engine in (Engine.PHOTON_XLA, Engine.PHOTON_PALLAS):
+        from .engines import photon
+
+        rects = pack_rects(scene.walls)
+        emitters = pack_emitters(
+            scene,
+            cfg.photon.samples_per_area,
+            cfg.photon.window_color,
+            cfg.photon.light_color,
+        )
+        use_pallas = cfg.engine is Engine.PHOTON_PALLAS
+        if use_pallas:
+            from .engines import photon_pallas
+
+            lightmap = photon_pallas.render_photons(
+                rects, emitters, scene.num_texels, cfg.photon
+            )
+        else:
+            lightmap = photon.render_photons(
+                rects, emitters, scene.num_texels, cfg.photon
+            )
+        scale = exposure_scale(
+            scene, cfg.photon.samples_per_area, cfg.photon.exposure
+        )
+        return np.asarray(lightmap) * scale[:, None]
+    if cfg.engine is Engine.PHOTON_ORACLE:
+        from .engines import photon_oracle_driver
+
+        lightmap = photon_oracle_driver.render_photons_np(scene, cfg.photon)
+        scale = exposure_scale(
+            scene, cfg.photon.samples_per_area, cfg.photon.exposure
+        )
+        return lightmap * scale[:, None]
+    if cfg.engine is Engine.AMBIENT_OCCLUSION:
+        from .engines import ao
+
+        return ao.render_ao(scene, pack_rects(scene.walls), cfg.ao)
+    if cfg.engine is Engine.RADIOSITY:
+        from .engines import radiosity
+
+        return radiosity.render_radiosity(scene, cfg.radiosity)
+    raise ValueError(f"unknown engine {cfg.engine}")
+
+
+def render(
+    layout_png: str,
+    out_dir: str = ".",
+    scale: float = 30.0,
+    cfg: Optional[RenderConfig] = None,
+) -> RenderResult:
+    """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`."""
+    cfg = cfg or DEFAULT_CONFIG
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    scene, collision_json = compile_scene(layout_png, scale, cfg)
+    (out / "collisionMap.json").write_text(collision_json)
+
+    geo_json = geometry.geometry_json(scene)
+    (out / "geometry.json").write_text(geo_json)
+
+    lay = scene.layout
+    print(
+        f"[INF] Layout consists of {len(lay.walls)} walls "
+        f"({scene.num_texels / 1000.0:.2f}k texels) "
+        f"{len(lay.windows)} windows, {len(lay.lights)} lights"
+    )
+
+    texels = run_engine(scene, cfg)
+
+    # tintExtra for every mode except the CL-equivalent photon paths
+    # (main.c:88-91)
+    tint_extra = cfg.engine in (
+        Engine.AMBIENT_OCCLUSION,
+        Engine.PHOTON_ORACLE,
+        Engine.RADIOSITY,
+    )
+    tile_paths = tiles_io.save_tiles(
+        scene.walls, texels, str(out / "tiles"), tint_extra
+    )
+    return RenderResult(
+        scene=scene,
+        texels=texels,
+        tile_paths=tile_paths,
+        geometry_json=geo_json,
+        collision_json=collision_json,
+    )

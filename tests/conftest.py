@@ -2,12 +2,20 @@
 exercised without TPU hardware (SURVEY.md §4: multi-host tests on CPU fakes)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment points JAX_PLATFORMS at the remote
+# TPU tunnel ('axon') and a sitecustomize hook imports jax at interpreter
+# startup, so the env var is already baked into jax.config — it must be
+# overridden through the config API, not os.environ.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

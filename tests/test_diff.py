@@ -1,0 +1,108 @@
+"""Differentiable rendering: replay-VJP gradients vs plain autodiff and
+finite differences (SURVEY.md §4: finite-difference gradient checks;
+BASELINE.md differentiability gate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatmatch_tpu.config import PhotonConfig
+from flatmatch_tpu.diff.render import make_autodiff_oracle, make_diff_renderer
+from flatmatch_tpu.engines import photon
+from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+from flatmatch_tpu.scene import geometry, image as im, layout
+from tests.conftest import FIXTURES
+
+f32 = np.float32
+
+CFG = PhotonConfig(samples_per_area=2000.0, photons_per_batch=512, seed=5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene, CFG.samples_per_area, CFG.window_color, CFG.light_color
+    )
+    n_rects = rects.pos.shape[0]
+    n_em = emitters.pos.shape[0]
+    albedo0 = jnp.full((n_rects,), CFG.albedo, jnp.float32)
+    power0 = jnp.ones((n_em,), jnp.float32)
+    # fixed random projection -> scalar loss
+    w = jax.random.normal(jax.random.PRNGKey(0), (scene.num_texels, 3)) ** 2
+    render = make_diff_renderer(rects, emitters, scene.num_texels, CFG)
+    oracle = make_autodiff_oracle(rects, emitters, scene.num_texels, CFG)
+    return scene, rects, emitters, albedo0, power0, w, render, oracle
+
+
+def test_forward_matches_plain_engine(setup):
+    """At uniform albedo=0.9 and power=1 the differentiable renderer must
+    reproduce the plain engine bit-for-bit (same RNG schedule)."""
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    lm_diff = np.asarray(render(albedo0, power0))
+    lm_plain = np.asarray(
+        photon.render_photons(rects, emitters, scene.num_texels, CFG)
+    )
+    np.testing.assert_array_equal(lm_diff, lm_plain)
+
+
+def test_replay_vjp_matches_autodiff(setup):
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+
+    def loss_replay(a, p):
+        return jnp.sum(render(a, p) * w)
+
+    def loss_oracle(a, p):
+        return jnp.sum(oracle(a, p) * w)
+
+    ga, gp = jax.grad(loss_replay, argnums=(0, 1))(albedo0, power0)
+    oa, op = jax.grad(loss_oracle, argnums=(0, 1))(albedo0, power0)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(oa), rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(op), rtol=1e-4)
+    # something actually flows
+    assert np.abs(np.asarray(ga)).sum() > 0
+    assert np.abs(np.asarray(gp)).sum() > 0
+
+
+def test_gradients_match_finite_differences(setup):
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+
+    def loss(a, p):
+        return float(jnp.sum(render(a, p) * w))
+
+    ga, gp = jax.grad(
+        lambda a, p: jnp.sum(render(a, p) * w), argnums=(0, 1)
+    )(albedo0, power0)
+    ga, gp = np.asarray(ga), np.asarray(gp)
+
+    # central differences on the 3 largest-gradient albedo entries + power[0]
+    h = 1e-2
+    for i in np.argsort(-np.abs(ga))[:3]:
+        ap = albedo0.at[i].add(h)
+        am = albedo0.at[i].add(-h)
+        fd = (loss(ap, power0) - loss(am, power0)) / (2 * h)
+        np.testing.assert_allclose(ga[i], fd, rtol=5e-2)
+
+    pp = power0.at[0].add(h)
+    pm = power0.at[0].add(-h)
+    fd = (loss(albedo0, pp) - loss(albedo0, pm)) / (2 * h)
+    np.testing.assert_allclose(gp[0], fd, rtol=5e-2)
+
+
+def test_power_gradient_is_exact_linearity(setup):
+    """The lightmap is linear in each emitter's power, so
+    dL/dpower[e] * power[e] must equal that emitter's total weighted
+    contribution; with one emitter, loss == gp * power."""
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    if emitters.pos.shape[0] != 1:
+        pytest.skip("needs single-emitter scene")
+
+    def loss(p):
+        return jnp.sum(render(albedo0, p) * w)
+
+    val = float(loss(power0))
+    gp = float(jax.grad(loss)(power0)[0])
+    np.testing.assert_allclose(gp, val, rtol=1e-5)

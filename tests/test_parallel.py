@@ -1,0 +1,90 @@
+"""Multi-chip photon sharding on the 8-device virtual CPU mesh (SURVEY.md §4:
+multi-host tests on CPU fakes)."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from flatmatch_tpu.config import PhotonConfig
+from flatmatch_tpu.engines import photon
+from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+from flatmatch_tpu.parallel.mesh import photon_mesh, render_photons_sharded
+from flatmatch_tpu.scene import geometry, image as im, layout
+from tests.conftest import FIXTURES
+
+f32 = np.float32
+
+CFG = PhotonConfig(samples_per_area=20000.0, photons_per_batch=1024, seed=11)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene, CFG.samples_per_area, CFG.window_color, CFG.light_color
+    )
+    return scene, rects, emitters
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_deterministic(tiny):
+    scene, rects, emitters = tiny
+    mesh = photon_mesh()
+    a = np.asarray(
+        render_photons_sharded(rects, emitters, scene.num_texels, CFG, mesh)
+    )
+    b = np.asarray(
+        render_photons_sharded(rects, emitters, scene.num_texels, CFG, mesh)
+    )
+    np.testing.assert_array_equal(a, b)
+    assert a.sum() > 0
+
+
+def test_sharded_matches_single_chip_statistically(tiny):
+    """Same photon budget, different RNG partition: the two estimates target
+    the same integral, so aggregate energy must agree to MC tolerance."""
+    scene, rects, emitters = tiny
+    mesh = photon_mesh()
+    sharded = np.asarray(
+        render_photons_sharded(rects, emitters, scene.num_texels, CFG, mesh)
+    )
+    single = np.asarray(
+        photon.render_photons(rects, emitters, scene.num_texels, CFG)
+    )
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded.sum(), single.sum(), rtol=0.02)
+    # per-wall energy also agrees (coarser than per-texel, robust to noise)
+    for r in scene.walls:
+        from flatmatch_tpu.scene.rectangle import num_tiles
+
+        s = sharded[r.base : r.base + num_tiles(r)].sum()
+        t = single[r.base : r.base + num_tiles(r)].sum()
+        if t > 1e3:  # skip nearly-unlit walls, pure noise
+            np.testing.assert_allclose(s, t, rtol=0.15)
+
+
+def test_sharded_respects_last_batch_mask(tiny):
+    """A photon budget that is not a multiple of (batch x devices) must not
+    trace padding photons: energy scales linearly with the budget."""
+    scene, rects, emitters = tiny
+    mesh = photon_mesh()
+    half_cfg = dataclasses.replace(CFG, samples_per_area=CFG.samples_per_area / 2)
+    half_emitters = pack_emitters(
+        scene, half_cfg.samples_per_area, CFG.window_color, CFG.light_color
+    )
+    full = np.asarray(
+        render_photons_sharded(rects, emitters, scene.num_texels, CFG, mesh)
+    )
+    half = np.asarray(
+        render_photons_sharded(
+            rects, half_emitters, scene.num_texels, half_cfg, mesh
+        )
+    )
+    np.testing.assert_allclose(half.sum() * 2, full.sum(), rtol=0.05)
