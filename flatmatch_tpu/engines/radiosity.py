@@ -1,0 +1,162 @@
+"""Monte-Carlo form-factor radiosity engine.
+
+Mirrors performRadiosityNative (/root/reference/radiosityNative.c:92-268):
+
+  1. extend the rect set with windows + lights and append texel ranges for
+     them after the wall arena (:104-127)
+  2. emissive init: window texels (30,30,30), light texels (28,28,32) (:135-142)
+  3. FORM-FACTOR pass: per wall texel, `rays_per_texel` cosine-distributed
+     rays from the tile center record the level-0 texel id they hit (:160-227)
+  4. 7 GATHER iterations with reflectance 0.3:
+         dest[t] = sum_j src[ids[t,j]]
+         src     = src*(1-rho) + dest * rho/rays
+     followed by a mipmap rebuild of every rect (:230-251)
+  5. copy the wall region back (:254-255)
+
+TPU re-design (SURVEY.md §2): the form-factor pass is a batched-ray
+intersection sweep (threefry uniforms instead of libc rand); the recorded
+source-id table — the reference's numTexels x 10000 int32 memory hog
+(:148-154) — lives in host RAM and streams through the device in chunks
+during the gather, which is a pure gather+sum (XLA loves it).
+"""
+from __future__ import annotations
+
+import copy
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RadiosityConfig
+from ..ops.device_scene import RectsDev, pack_rects
+from ..ops.intersect import nearest_hit
+from ..ops.mipmap import build_plan, apply_plan
+from ..ops.sampling import TWO_PI_REF, build_base
+from ..ops.tile import texel_index
+from ..scene.geometry import Scene
+from ..scene.rectangle import Rect, num_mipmap_texels, num_tiles
+from .ao import tile_centers
+
+f32 = np.float32
+
+
+def extended_rects(scene: Scene) -> Tuple[List[Rect], int, int, int]:
+    """Walls + windows + lights with appended texel ranges
+    (radiosityNative.c:104-127). Returns (rects, total_texels,
+    first_window_texel, first_light_texel)."""
+    rects = [copy.copy(r) for r in scene.walls]
+    total = scene.num_texels
+    first_window = total
+    for r in scene.windows:
+        r = copy.copy(r)
+        r.base = total
+        total += num_mipmap_texels(r)
+        rects.append(r)
+    first_light = total
+    for r in scene.lights:
+        r = copy.copy(r)
+        r.base = total
+        total += num_mipmap_texels(r)
+        rects.append(r)
+    return rects, total, first_window, first_light
+
+
+@functools.partial(jax.jit, static_argnames=("rays",))
+def _form_factor_chunk(rects: RectsDev, centers, normal, key, rays: int):
+    """Hit-texel ids for `rays` cosine rays from each of [C] texel centers.
+
+    Returns [C, rays] int32, -1 where the ray escaped (radiosityNative.c:
+    182-223; the reference warns and skips on miss :197-202)."""
+    C = centers.shape[0]
+    u = jax.random.uniform(key, (C, rays, 2), dtype=jnp.float32)
+    r = jnp.sqrt(u[..., 0])
+    phi = jnp.float32(TWO_PI_REF) * u[..., 1]
+    du = r * jnp.cos(phi)
+    dv = r * jnp.sin(phi)
+    dn = jnp.sqrt(1.0 - r * r)
+    ndir = jnp.broadcast_to(normal, (C, 3))
+    udir, vdir = build_base(ndir)
+    direc = (
+        udir[:, None, :] * du[..., None]
+        + vdir[:, None, :] * dv[..., None]
+        + ndir[:, None, :] * dn[..., None]
+    ).reshape(C * rays, 3)
+    src = (centers[:, None, :] + 1e-5 * direc.reshape(C, rays, 3)).reshape(
+        C * rays, 3
+    )
+    dist, hit = nearest_hit(src, direc, rects)
+    p = src + direc * jnp.where(jnp.isfinite(dist), dist, 0.0)[:, None]
+    ids = texel_index(rects, hit, p)
+    ids = jnp.where(jnp.isfinite(dist), ids, -1)
+    return ids.reshape(C, rays).astype(jnp.int32)
+
+
+def form_factors(
+    scene: Scene,
+    rects_dev: RectsDev,
+    cfg: RadiosityConfig,
+) -> np.ndarray:
+    """Source-texel-id table [num_wall_texels(level0 span), rays] on host.
+
+    Row t corresponds to arena texel id t; rows for mipmap slots are -1
+    (the reference leaves them -1 too, radiosityNative.c:152-153)."""
+    rays = int(cfg.rays_per_texel)
+    chunk = int(cfg.texels_per_chunk)
+    ids = np.full((scene.num_texels, rays), -1, np.int32)
+    key = jax.random.PRNGKey(cfg.seed)
+    for wi, wall in enumerate(scene.walls):
+        centers = tile_centers(wall)
+        T = num_tiles(wall)
+        normal = jnp.asarray(wall.n)
+        for ci, s in enumerate(range(0, T, chunk)):
+            c = centers[s : s + chunk]
+            n_real = len(c)
+            if n_real < chunk:
+                c = np.concatenate([c, np.zeros((chunk - n_real, 3), f32)])
+            k = jax.random.fold_in(jax.random.fold_in(key, wi), ci)
+            out = np.asarray(
+                _form_factor_chunk(rects_dev, jnp.asarray(c), normal, k, rays)
+            )
+            ids[wall.base + s : wall.base + s + n_real] = out[:n_real]
+    return ids
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_chunk(src, ids_chunk):
+    """dest[t] = sum_j src[ids[t,j]], treating -1 as zero contribution."""
+    safe = jnp.maximum(ids_chunk, 0)
+    vals = src[safe]  # [C, R, 3]
+    mask = (ids_chunk >= 0)[..., None]
+    return jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
+
+
+def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
+    rects, total, first_window, first_light = extended_rects(scene)
+    rects_dev = pack_rects(rects)
+    plan = build_plan(rects)
+
+    # emissive init (radiosityNative.c:135-145)
+    src = np.zeros((total, 3), f32)
+    src[first_window:first_light] = np.asarray(cfg.window_emission, f32)
+    src[first_light:total] = np.asarray(cfg.light_emission, f32)
+
+    ids = form_factors(scene, rects_dev, cfg)
+
+    rho = f32(cfg.reflectance)
+    rays = int(cfg.rays_per_texel)
+    chunk = max(1, (1 << 22) // max(rays, 1))  # ~4M gathered ids per step
+    src_dev = jnp.asarray(src)
+    for _ in range(int(cfg.iterations)):
+        dest = np.zeros((total, 3), f32)
+        for s in range(0, scene.num_texels, chunk):
+            e = min(s + chunk, scene.num_texels)
+            dest[s:e] = np.asarray(
+                _gather_chunk(src_dev, jnp.asarray(ids[s:e]))
+            )
+        src_dev = src_dev * (1.0 - rho) + jnp.asarray(dest) * (rho / rays)
+        src_dev = apply_plan(src_dev, plan)
+
+    out = np.asarray(src_dev)[: scene.num_texels].copy()
+    return out
