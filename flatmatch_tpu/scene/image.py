@@ -8,9 +8,20 @@ but the BFS-based distance transform (image.c:88-142) and flood fill
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from PIL import Image as PILImage
 from scipy import ndimage
+
+
+def _native():
+    """C++ raster kernels (flatmatch_tpu/native), unless disabled."""
+    if os.environ.get("FLATMATCH_NATIVE", "1") == "0":
+        return None
+    from .. import native
+
+    return native if native.available() else None
 
 # Packed pixel classes (parseLayout.c:15-24). The words read as
 # 0xFF000000 | R | G<<8 | B<<16 (image.c:196).
@@ -65,6 +76,9 @@ def distance_transform(mask: np.ndarray) -> tuple[np.ndarray, int]:
     the reference's in-place result and return value (image.c:140 returns the
     max assigned distance).
     """
+    nat = _native()
+    if nat is not None:
+        return nat.distance_transform(mask)
     seeds = mask != 0
     if not seeds.any():
         return np.zeros_like(mask, dtype=np.int64), 0
@@ -81,6 +95,10 @@ def flood_fill(img: np.ndarray, x: int, y: int, value: int, background: int) -> 
         return
     if img[y, x] != background:
         return
+    nat = _native()
+    if nat is not None and img.flags.c_contiguous:
+        nat.flood_fill(img, x, y, value, background)
+        return
     bg = img == background
     labels, _ = ndimage.label(bg, structure=_EIGHT)
     img[labels == labels[y, x]] = np.uint32(value)
@@ -90,5 +108,8 @@ def dilate_mask(mask: np.ndarray, radius: int) -> np.ndarray:
     """Square (Chebyshev) dilation of a boolean mask by `radius` pixels
     (parseLayout.c:571-594 dilates the impassable area with a full
     (2r+1)x(2r+1) square kernel)."""
+    nat = _native()
+    if nat is not None:
+        return nat.dilate_mask(mask, radius)
     k = np.ones((2 * radius + 1, 2 * radius + 1), bool)
     return ndimage.binary_dilation(mask, structure=k)
