@@ -1,0 +1,378 @@
+"""Wide-layout axis-aligned photon megakernel (the fast path).
+
+Second-generation Pallas kernel (see photon_pallas.py for the general
+narrow-layout kernel). Two structural changes, both aimed at VPU utilization:
+
+1. WIDE photon state. The narrow kernel keeps per-photon scalars as [TB, 1]
+   columns — every elementwise op wastes 127/128 lanes. Here a block of
+   TB = S*128 photons lives as [S, 128] tiles per component, so the ~200
+   per-photon ops per bounce (samplers, frames, color updates) run at full
+   VPU width.
+
+2. AXIS-ALIGNED rect loop. The scene compiler only emits axis-aligned rects
+   (ops/aa_scene.py); grouped by normal axis, the ray-rect test per rect is
+   a handful of [S, 128] ops with all rect fields read as SMEM scalars:
+
+       fac = (o - p_a) * inv_d_a            (inv_d hoisted per bounce)
+       du  = (p_u + d_u*fac - c_u) * ws     in [0, wlen]
+       dv  = (p_v + d_v*fac - c_v) * hs     in [0, hlen]
+       front-face: sn * d_a < 0
+
+   The nearest hit is a running (dist, texel, axis, sign) minimum across the
+   scalar rect loop — no cross-lane reductions, no [TB, N] tiles, and the
+   loop runs over the REAL rect count (no lane padding).
+
+Physics is identical to engines/photon.trace_batch (photonmap.cl:161-265)
+with the same per-photon uniform draws; parity is gated in interpret mode.
+On real hardware the engines decorrelate chaotically through transcendental
+differences (see README "Engine parity model").
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PhotonConfig
+from ..ops.aa_scene import (
+    A_BASE, A_CU, A_CV, A_HLEN, A_HS, A_HT, A_KTU, A_KTV, A_O, A_SN,
+    A_WLEN, A_WS, A_WT, AARectsDev, F_AA, GROUP_UV, pack_aa,
+)
+from ..ops.device_scene import EmittersDev, RectsDev
+from ..ops.sampling import TWO_PI_REF
+from .photon import EmitterSlice, uniforms_per_photon
+from .photon_pallas import _build_base_cols, emitter_vector
+
+_MISS = 1e30
+LANES = 128
+
+
+def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
+    D = cfg.max_depth
+    TB = S * LANES
+    eps = np.float32(cfg.self_intersect_eps)
+    two_pi = np.float32(TWO_PI_REF)
+    rr = np.float32(cfg.rr_mirror_prob)
+    mirror_z = np.float32(cfg.mirror_z_threshold)
+    tint_z = np.float32(cfg.floor_tint_z_threshold)
+    tint = tuple(np.float32(t) for t in cfg.floor_tint)
+    albedo = np.float32(cfg.albedo)
+    g0, g1, g2 = group_counts
+    starts = (0, g0, g0 + g1)
+
+    def kernel(em_ref, nvalid_ref, scene_ref, u_ref, idx_ref, col_ref):
+        # uniforms arrive transposed: u_ref[c*S:(c+1)*S, :] is draw column c
+        def draw(c):
+            return u_ref[pl.ds(c * S, S), :]
+
+        epx, epy, epz = em_ref[0, 0], em_ref[0, 1], em_ref[0, 2]
+        ewx, ewy, ewz = em_ref[0, 3], em_ref[0, 4], em_ref[0, 5]
+        ehx, ehy, ehz = em_ref[0, 6], em_ref[0, 7], em_ref[0, 8]
+        enx, eny, enz = em_ref[0, 9], em_ref[0, 10], em_ref[0, 11]
+        ecr, ecg, ecb = em_ref[0, 12], em_ref[0, 13], em_ref[0, 14]
+        is_window = em_ref[0, 15]
+
+        # --- emission (photonmap.cl:173-181) ------------------------------
+        dxe = draw(0)
+        dye = draw(1)
+        r = jnp.sqrt(draw(2))
+        phi = two_pi * draw(3)
+        uu = r * jnp.cos(phi)
+        vv = r * jnp.sin(phi)
+        nn = jnp.sqrt(1.0 - r * r)
+        uu = jnp.where(is_window > 0, jnp.abs(uu), uu)
+
+        ones = jnp.ones((S, LANES), jnp.float32)
+        (ux, uy, uz), (vx, vy, vz) = _build_base_cols(
+            enx * ones, eny * ones, enz * ones
+        )
+        dirx = ux * uu + vx * vv + enx * nn
+        diry = uy * uu + vy * vv + eny * nn
+        dirz = uz * uu + vz * vv + enz * nn
+        px = epx + ewx * dxe + ehx * dye + dirx * eps
+        py = epy + ewy * dxe + ehy * dye + diry * eps
+        pz = epz + ewz * dxe + ehz * dye + dirz * eps
+
+        cr = ecr * ones
+        cg = ecg * ones
+        cb = ecb * ones
+
+        gid = (
+            pl.program_id(0) * TB
+            + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+        )
+        alive = (gid < nvalid_ref[0, 0]).astype(jnp.float32)
+
+        for d in range(D):
+            inv = (
+                1.0 / dirx,  # div-by-zero -> inf; rejected by sign/bounds
+                1.0 / diry,
+                1.0 / dirz,
+            )
+            p = (px, py, pz)
+            dr = (dirx, diry, dirz)
+
+            best = jnp.full((S, LANES), _MISS, jnp.float32)
+            btex = jnp.zeros((S, LANES), jnp.float32)
+            baxis = jnp.zeros((S, LANES), jnp.float32)
+            bsign = jnp.zeros((S, LANES), jnp.float32)
+
+            for a in range(3):
+                count = group_counts[a]
+                if count == 0:
+                    continue
+                au, av = GROUP_UV[a]
+                pa, ia = p[a], inv[a]
+                pu, du_ = p[au], dr[au]
+                pv, dv_ = p[av], dr[av]
+                da_neg = dr[a] < 0
+
+                def body(rr_, carry, a=a, pa=pa, ia=ia, pu=pu, du_=du_,
+                         pv=pv, dv_=dv_, da_neg=da_neg, start=starts[a]):
+                    best, btex, baxis, bsign = carry
+                    j = start + rr_
+                    o = scene_ref[A_O, j]
+                    sn = scene_ref[A_SN, j]
+                    fac = (o - pa) * ia
+                    # front face: sn * d_a < 0
+                    front = jnp.where(sn > 0, da_neg, jnp.logical_not(da_neg))
+                    u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
+                    v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
+                    valid = (
+                        front
+                        & (fac >= 0)
+                        & (u >= 0)
+                        & (u <= scene_ref[A_WLEN, j])
+                        & (v >= 0)
+                        & (v <= scene_ref[A_HLEN, j])
+                    )
+                    dist = jnp.where(valid, fac, _MISS)
+                    upd = dist < best
+                    wt = scene_ref[A_WT, j]
+                    tx = jnp.clip(
+                        jnp.floor(u * scene_ref[A_KTU, j]), 0.0, wt - 1.0
+                    )
+                    ty = jnp.clip(
+                        jnp.floor(v * scene_ref[A_KTV, j]),
+                        0.0,
+                        scene_ref[A_HT, j] - 1.0,
+                    )
+                    texel = scene_ref[A_BASE, j] + ty * wt + tx
+                    best = jnp.where(upd, dist, best)
+                    btex = jnp.where(upd, texel, btex)
+                    baxis = jnp.where(upd, jnp.float32(a), baxis)
+                    bsign = jnp.where(upd, sn, bsign)
+                    return best, btex, baxis, bsign
+
+                best, btex, baxis, bsign = jax.lax.fori_loop(
+                    0, count, body, (best, btex, baxis, bsign)
+                )
+
+            hitmask = best < (_MISS * 0.5)
+            alive = alive * hitmask.astype(jnp.float32)
+            dist_safe = jnp.where(hitmask, best, 0.0)
+            px = px + dirx * dist_safe
+            py = py + diry * dist_safe
+            pz = pz + dirz * dist_safe
+
+            # hit normal from (axis, sign)
+            hnx = jnp.where(baxis == 0, bsign, 0.0)
+            hny = jnp.where(baxis == 1, bsign, 0.0)
+            hnz = jnp.where(baxis == 2, bsign, 0.0)
+
+            # --- Russian roulette + bounce (photonmap.cl:236-254) ----------
+            u_rr = draw(4 + 3 * d)
+            u1 = draw(5 + 3 * d)
+            u2 = draw(6 + 3 * d)
+            diffuse = (pz > mirror_z) | (u_rr > rr)
+
+            rd = jnp.sqrt(u1)
+            phid = two_pi * u2
+            duu = rd * jnp.cos(phid)
+            dvv = rd * jnp.sin(phid)
+            dnn = jnp.sqrt(1.0 - rd * rd)
+            (bux, buy, buz), (bvx, bvy, bvz) = _build_base_cols(hnx, hny, hnz)
+            ddx = bux * duu + bvx * dvv + hnx * dnn
+            ddy = buy * duu + bvy * dvv + hny * dnn
+            ddz = buz * duu + bvz * dvv + hnz * dnn
+
+            ndotd = hnx * dirx + hny * diry + hnz * dirz
+            mdx = dirx - 2.0 * ndotd * hnx
+            mdy = diry - 2.0 * ndotd * hny
+            mdz = dirz - 2.0 * ndotd * hnz
+
+            on_floor = pz < tint_z
+            tr = jnp.where(on_floor, tint[0], 1.0)
+            tg = jnp.where(on_floor, tint[1], 1.0)
+            tb = jnp.where(on_floor, tint[2], 1.0)
+            cr = jnp.where(diffuse, cr * tr * albedo, cr)
+            cg = jnp.where(diffuse, cg * tg * albedo, cg)
+            cb = jnp.where(diffuse, cb * tb * albedo, cb)
+            dirx = jnp.where(diffuse, ddx, mdx)
+            diry = jnp.where(diffuse, ddy, mdy)
+            dirz = jnp.where(diffuse, ddz, mdz)
+
+            # --- deposit --------------------------------------------------
+            idx_ref[pl.ds(d * S, S), :] = jnp.where(
+                alive > 0, btex, 0.0
+            ).astype(jnp.int32)
+            col_ref[pl.ds((3 * d) * S, S), :] = cr * alive
+            col_ref[pl.ds((3 * d + 1) * S, S), :] = cg * alive
+            col_ref[pl.ds((3 * d + 2) * S, S), :] = cb * alive
+
+            px = px + dirx * eps
+            py = py + diry * eps
+            pz = pz + dirz * eps
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "group_counts", "sublanes")
+)
+def trace_deposits_wide(
+    aa_fields: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    sublanes: int = 8,
+):
+    """Returns (texel ids [B*D] int32, colors [B*D, 3] f32) for one batch.
+
+    `uniforms` is the standard [B, U] layout shared with the other engines;
+    it is re-tiled to the kernel's wide layout here.
+    """
+    B, U = uniforms.shape
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+
+    # [B, U] -> per block: [U, S, L] so draw c is an [S, L] tile
+    u_wide = (
+        uniforms.reshape(n_blocks, S, LANES, U)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_blocks * U * S, LANES)
+    )
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    N = aa_fields.shape[1]
+    idx, col = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * D * S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 3 * D * S, LANES), jnp.float32),
+        ),
+    )(em_vec, nvalid_arr, aa_fields, u_wide)
+    # [nb, D, S, L] -> flat photon-major is unnecessary; any order works for
+    # the scatter. colors: [nb, D, 3, S, L] -> [nb*D*S*L, 3]
+    idx_flat = idx.reshape(-1)
+    col_flat = (
+        col.reshape(n_blocks, D, 3, S, LANES)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(-1, 3)
+    )
+    return idx_flat, col_flat
+
+
+def trace_batch_wide(
+    lightmap, aa: AARectsDev, em_vec, uniforms, n_valid, cfg: PhotonConfig,
+    sublanes: int = 8,
+):
+    idx, col = trace_deposits_wide(
+        aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts, sublanes
+    )
+    return lightmap.at[idx].add(col)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "group_counts", "sublanes"),
+)
+def _trace_emitter_wide(
+    lightmap, aa_fields, em_vec, key, base_batch, n_batches,
+    last_batch_valid, cfg: PhotonConfig, batch_size: int, group_counts,
+    sublanes: int,
+):
+    U = uniforms_per_photon(cfg.max_depth)
+
+    def body(i, lm):
+        k = jax.random.fold_in(key, base_batch + i)
+        uniforms = jax.random.uniform(k, (batch_size, U), dtype=jnp.float32)
+        n_valid = jnp.where(
+            i == n_batches - 1, last_batch_valid, jnp.int32(batch_size)
+        )
+        idx, col = trace_deposits_wide(
+            aa_fields, em_vec, uniforms, n_valid, cfg, group_counts, sublanes
+        )
+        return lm.at[idx].add(col)
+
+    return jax.lax.fori_loop(0, n_batches, body, lightmap)
+
+
+def render_photons(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    aa: AARectsDev,
+    sublanes: int = 8,
+) -> jnp.ndarray:
+    """Full photon pass on the wide AA path (same per-emitter schedule and
+    RNG keying as the other engines)."""
+    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
+    key = jax.random.PRNGKey(cfg.seed)
+    B = int(cfg.photons_per_batch)
+    counts = np.asarray(emitters.counts)
+    base_batch = 0
+    for e in range(len(counts)):
+        n = int(counts[e])
+        if n == 0:
+            continue
+        n_batches = (n + B - 1) // B
+        last_valid = n - (n_batches - 1) * B
+        em = EmitterSlice(
+            pos=emitters.pos[e],
+            wvec=emitters.wvec[e],
+            hvec=emitters.hvec[e],
+            n=emitters.n[e],
+            color=emitters.color[e],
+            is_window=emitters.is_window[e],
+        )
+        lightmap = _trace_emitter_wide(
+            lightmap,
+            aa.fields,
+            emitter_vector(em),
+            key,
+            jnp.int32(base_batch),
+            jnp.int32(n_batches),
+            jnp.int32(last_valid),
+            cfg,
+            B,
+            aa.group_counts,
+            sublanes,
+        )
+        base_batch += n_batches
+    return lightmap

@@ -1,0 +1,123 @@
+"""Wide AA photon megakernel vs the XLA engine (interpret mode on CPU)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from flatmatch_tpu.config import PhotonConfig
+from flatmatch_tpu.engines import photon, photon_pallas, photon_pallas_wide
+from flatmatch_tpu.ops.aa_scene import pack_aa
+from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+from flatmatch_tpu.scene import geometry, image as im, layout
+from flatmatch_tpu.scene.rectangle import create_rect
+from tests.conftest import FIXTURES
+
+f32 = np.float32
+
+CFG = PhotonConfig(samples_per_area=2000.0, photons_per_batch=512, seed=9)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene, CFG.samples_per_area, CFG.window_color, CFG.light_color
+    )
+    return scene, rects, emitters
+
+
+def test_pack_aa_accepts_layout_scenes(tiny):
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    assert aa is not None
+    assert sum(aa.group_counts) == len(scene.walls)
+    assert aa.fields.shape[1] == len(scene.walls)
+
+
+def test_pack_aa_rejects_tilted_rect():
+    r = create_rect((0, 0, 0), (1, 1, 0), (0, 0, 1), 200.0)  # 45-degree wall
+    assert pack_aa([r]) is None
+
+
+def test_wide_matches_xla_batch(tiny):
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B = 1024
+    U = photon.uniforms_per_photon(CFG.max_depth)
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(4), (B, U), dtype=np.float32
+    )
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0],
+        wvec=emitters.wvec[0],
+        hvec=emitters.hvec[0],
+        n=emitters.n[0],
+        color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    lm0 = jnp.zeros((scene.num_texels, 3), jnp.float32)
+    lm_xla = np.asarray(
+        jax.jit(photon.trace_batch, static_argnames=("cfg",))(
+            lm0, rects, em, uniforms, B, CFG
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        lm_wide = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0,
+                aa,
+                photon_pallas.emitter_vector(em),
+                uniforms,
+                B,
+                CFG,
+                sublanes=4,
+            )
+        )
+    assert lm_wide.sum() > 0
+    close = np.isclose(lm_wide, lm_xla, rtol=1e-3, atol=1e-2)
+    assert close.mean() > 0.999, f"only {close.mean():.4%} match"
+    np.testing.assert_allclose(lm_wide.sum(), lm_xla.sum(), rtol=1e-4)
+
+
+def test_wide_masks_invalid_photons(tiny):
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B = 512
+    U = photon.uniforms_per_photon(CFG.max_depth)
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(5), (B, U), dtype=np.float32
+    )
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0],
+        wvec=emitters.wvec[0],
+        hvec=emitters.hvec[0],
+        n=emitters.n[0],
+        color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    lm0 = jnp.zeros((scene.num_texels, 3), jnp.float32)
+    run = functools.partial(
+        photon_pallas_wide.trace_batch_wide,
+        lm0,
+        aa,
+        photon_pallas.emitter_vector(em),
+        uniforms,
+        cfg=CFG,
+        sublanes=4,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        half = np.asarray(run(n_valid=256))
+        full = np.asarray(run(n_valid=512))
+    assert 0 < half.sum() < full.sum()
+    lm_xla_half = np.asarray(
+        jax.jit(photon.trace_batch, static_argnames=("cfg",))(
+            lm0, rects, em, uniforms, 256, CFG
+        )
+    )
+    np.testing.assert_allclose(half.sum(), lm_xla_half.sum(), rtol=1e-4)
