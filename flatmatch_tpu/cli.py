@@ -38,6 +38,29 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         type=int,
         default=DEFAULT_CONFIG.photon.photons_per_batch,
     )
+    p.add_argument(
+        "--splat",
+        choices=["bucket", "bucket_exact", "scatter"],
+        default=DEFAULT_CONFIG.photon.splat,
+        help="deposit splat strategy for the Pallas engines",
+    )
+    p.add_argument(
+        "--radiosity-rays",
+        type=int,
+        default=DEFAULT_CONFIG.radiosity.rays_per_texel,
+        help="form-factor rays per texel (radiosityNative.c:147)",
+    )
+    p.add_argument(
+        "--radiosity-iterations",
+        type=int,
+        default=DEFAULT_CONFIG.radiosity.iterations,
+    )
+    p.add_argument(
+        "--ao-chunk",
+        type=int,
+        default=DEFAULT_CONFIG.ao.texels_per_chunk,
+        help="AO texels per device dispatch",
+    )
     p.add_argument("--out", default=".", help="output directory")
 
 
@@ -49,7 +72,15 @@ def _build_cfg(args):
             samples_per_area=args.samples_per_area,
             seed=args.seed,
             photons_per_batch=args.photons_per_batch,
-        )
+            splat=args.splat,
+        ),
+        radiosity=dataclasses.replace(
+            cfg.radiosity,
+            rays_per_texel=args.radiosity_rays,
+            iterations=args.radiosity_iterations,
+            seed=args.seed,
+        ),
+        ao=dataclasses.replace(cfg.ao, texels_per_chunk=args.ao_chunk),
     )
 
 

@@ -143,6 +143,136 @@ def make_diff_renderer(
     return jax.jit(render)
 
 
+def make_diff_renderer_sharded(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    mesh,
+):
+    """Multi-chip differentiable renderer: photon DP over the `photons` mesh
+    axis with psum-reduced lightmaps AND psum-reduced parameter cotangents —
+    the gradient all-reduce rides the same collective schedule as the
+    forward (BASELINE.md: gradient psum overlapped with backward replay).
+
+    Deterministic for fixed (seed, device count). Forward and backward use
+    the same per-(batch, device) threefry keys, so the backward replays the
+    exact forward trajectories shard-locally; only the [N]+[E] cotangent
+    psum crosses chips.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+    n_dev = mesh.shape["photons"]
+    B = int(cfg.photons_per_batch)
+    if B % n_dev:
+        B = ((B + n_dev - 1) // n_dev) * n_dev
+    b_local = B // n_dev
+    U = uniforms_per_photon(cfg.max_depth)
+    schedule = _emitter_batches(np.asarray(emitters.counts), B)
+    key = jax.random.PRNGKey(cfg.seed)
+    repl = P()
+
+    def emitter_slice(e):
+        return EmitterSlice(
+            pos=emitters.pos[e],
+            wvec=emitters.wvec[e],
+            hvec=emitters.hvec[e],
+            n=emitters.n[e],
+            color=emitters.color[e],
+            is_window=emitters.is_window[e],
+        )
+
+    def local_uniforms(batch_idx, ax):
+        k = jax.random.fold_in(key, batch_idx)
+        k = jax.random.fold_in(k, ax)
+        return jax.random.uniform(k, (b_local, U), dtype=jnp.float32)
+
+    def local_n_valid(i, ax, n_batches, last_valid):
+        n_valid_global = jnp.where(
+            i == n_batches - 1, jnp.int32(last_valid), jnp.int32(B)
+        )
+        return jnp.clip(n_valid_global - ax * b_local, 0, b_local).astype(
+            jnp.int32
+        )
+
+    def forward_loop(albedo, power):
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(repl, repl),
+            out_specs=repl, check_vma=False,
+        )
+        def run(albedo, power):
+            ax = jax.lax.axis_index("photons")
+            lm = jnp.zeros((num_texels, 3), jnp.float32)
+            for e, base_batch, n_batches, last_valid in schedule:
+                em = emitter_slice(e)
+
+                def body(i, lm, em=em, e=e, base_batch=base_batch,
+                         n_batches=n_batches, last_valid=last_valid):
+                    u = local_uniforms(base_batch + i, ax)
+                    return trace_batch(
+                        lm, rects, em, u,
+                        local_n_valid(i, ax, n_batches, last_valid), cfg,
+                        albedo=albedo, power=power[e],
+                    )
+
+                lm = jax.lax.fori_loop(0, n_batches, body, lm)
+            return jax.lax.psum(lm, "photons")
+
+        return run(albedo, power)
+
+    @jax.custom_vjp
+    def render(albedo, power):
+        return forward_loop(albedo, power)
+
+    def render_fwd(albedo, power):
+        return forward_loop(albedo, power), (albedo, power)
+
+    def render_bwd(res, g):
+        albedo, power = res
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(repl, repl, repl),
+            out_specs=(repl, repl), check_vma=False,
+        )
+        def run(albedo, power, g):
+            ax = jax.lax.axis_index("photons")
+            d_albedo = jnp.zeros_like(albedo)
+            d_power = jnp.zeros_like(power)
+            for e, base_batch, n_batches, last_valid in schedule:
+                em = emitter_slice(e)
+
+                def body(i, carry, em=em, e=e, base_batch=base_batch,
+                         n_batches=n_batches, last_valid=last_valid):
+                    da, dp = carry
+                    u = local_uniforms(base_batch + i, ax)
+                    nv = local_n_valid(i, ax, n_batches, last_valid)
+
+                    def delta(a, p):
+                        return trace_batch(
+                            jnp.zeros((num_texels, 3), jnp.float32),
+                            rects, em, u, nv, cfg, albedo=a, power=p,
+                        )
+
+                    _, vjp_fn = jax.vjp(delta, albedo, power[e])
+                    da_b, dp_b = vjp_fn(g)
+                    return da + da_b, dp.at[e].add(dp_b)
+
+                d_albedo, d_power = jax.lax.fori_loop(
+                    0, n_batches, body, (d_albedo, d_power)
+                )
+            # gradient all-reduce over the same photon axis
+            return (
+                jax.lax.psum(d_albedo, "photons"),
+                jax.lax.psum(d_power, "photons"),
+            )
+
+        return run(albedo, power, g)
+
+    render.defvjp(render_fwd, render_bwd)
+    return jax.jit(render)
+
+
 def make_autodiff_oracle(
     rects: RectsDev,
     emitters: EmittersDev,

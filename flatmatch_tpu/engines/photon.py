@@ -158,33 +158,38 @@ def trace_batch(
     return lightmap
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "batch_size", "max_batches")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "batch_size"))
 def _trace_emitter(
     lightmap,
     rects: RectsDev,
     em: EmitterSlice,
     key,
     base_batch,
-    n_batches,
+    batch_offset,
+    seg_len,
+    emitter_n_batches,
     last_batch_valid,
     cfg: PhotonConfig,
     batch_size: int,
-    max_batches: int,
 ):
+    """Trace batches [batch_offset, batch_offset+seg_len) of one emitter's
+    schedule. `base_batch` is the emitter's global key offset; segmenting
+    exists so a host checkpoint loop can slice the schedule without changing
+    any photon's draws (utils/checkpoint.py)."""
     U = uniforms_per_photon(cfg.max_depth)
 
     def body(i, lm):
-        k = jax.random.fold_in(key, base_batch + i)
+        abs_i = batch_offset + i
+        k = jax.random.fold_in(key, base_batch + abs_i)
         uniforms = jax.random.uniform(k, (batch_size, U), dtype=jnp.float32)
         n_valid = jnp.where(
-            i == n_batches - 1, last_batch_valid, jnp.int32(batch_size)
+            abs_i == emitter_n_batches - 1,
+            last_batch_valid,
+            jnp.int32(batch_size),
         )
         return trace_batch(lm, rects, em, uniforms, n_valid, cfg)
 
-    del max_batches  # shape hint only
-    return jax.lax.fori_loop(0, n_batches, body, lightmap)
+    return jax.lax.fori_loop(0, seg_len, body, lightmap)
 
 
 def render_photons(
@@ -221,11 +226,88 @@ def render_photons(
             em,
             key,
             jnp.int32(base_batch),
+            jnp.int32(0),
+            jnp.int32(n_batches),
             jnp.int32(n_batches),
             jnp.int32(last_valid),
             cfg,
             B,
-            n_batches,
         )
+        base_batch += n_batches
+    return lightmap
+
+
+def render_photons_checkpointed(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    checkpoint_path: str,
+    every_batches: int = 64,
+) -> jnp.ndarray:
+    """render_photons with periodic host checkpoints and resume.
+
+    Because the RNG is counter-based (fold_in of the global batch index),
+    a resumed run traces the exact photons the uninterrupted run would
+    have — results are bit-identical (gated in tests).
+    """
+    from ..utils import checkpoint as ckpt
+    from ..utils.progress import info
+
+    counts = np.asarray(emitters.counts)
+    fp = ckpt.config_fingerprint(cfg, num_texels, counts)
+    state = ckpt.load(checkpoint_path, fp)
+    if state is None:
+        lightmap = jnp.zeros((num_texels, 3), jnp.float32)
+        resume_e, resume_b = 0, 0
+    else:
+        arr, resume_e, resume_b = state
+        lightmap = jnp.asarray(arr)
+        info(
+            f"resuming from {checkpoint_path}: emitter {resume_e}, "
+            f"batch {resume_b}"
+        )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    B = int(cfg.photons_per_batch)
+    base_batch = 0
+    for e in range(len(counts)):
+        n = int(counts[e])
+        if n == 0:
+            continue
+        n_batches = (n + B - 1) // B
+        last_valid = n - (n_batches - 1) * B
+        if e < resume_e:
+            base_batch += n_batches
+            continue
+        em = EmitterSlice(
+            pos=emitters.pos[e],
+            wvec=emitters.wvec[e],
+            hvec=emitters.hvec[e],
+            n=emitters.n[e],
+            color=emitters.color[e],
+            is_window=emitters.is_window[e],
+        )
+        start = resume_b if e == resume_e else 0
+        for off in range(start, n_batches, every_batches):
+            seg = min(every_batches, n_batches - off)
+            lightmap = _trace_emitter(
+                lightmap,
+                rects,
+                em,
+                key,
+                jnp.int32(base_batch),
+                jnp.int32(off),
+                jnp.int32(seg),
+                jnp.int32(n_batches),
+                jnp.int32(last_valid),
+                cfg,
+                B,
+            )
+            nxt = off + seg
+            if nxt < n_batches:
+                ckpt.save(checkpoint_path, np.asarray(lightmap), e, nxt, fp)
+            else:
+                ckpt.save(checkpoint_path, np.asarray(lightmap), e + 1, 0, fp)
         base_batch += n_batches
     return lightmap

@@ -139,8 +139,9 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
                     o = scene_ref[A_O, j]
                     sn = scene_ref[A_SN, j]
                     fac = (o - pa) * ia
-                    # front face: sn * d_a < 0
-                    front = jnp.where(sn > 0, da_neg, jnp.logical_not(da_neg))
+                    # front face: sign(sn * d_a) < 0 (Mosaic cannot select
+                    # between i1 vectors, so keep it arithmetic)
+                    front = jnp.logical_xor(da_neg, sn < 0)
                     u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
                     v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
                     valid = (
@@ -297,6 +298,16 @@ def trace_deposits_wide(
     return idx_flat, col_flat
 
 
+def _splat(lightmap, idx, col, cfg: PhotonConfig):
+    if cfg.splat == "scatter":
+        return lightmap.at[idx].add(col)
+    from ..ops.splat import bucket_splat
+
+    return lightmap + bucket_splat(
+        idx, col, lightmap.shape[0], exact=(cfg.splat == "bucket_exact")
+    )
+
+
 def trace_batch_wide(
     lightmap, aa: AARectsDev, em_vec, uniforms, n_valid, cfg: PhotonConfig,
     sublanes: int = 8,
@@ -304,7 +315,7 @@ def trace_batch_wide(
     idx, col = trace_deposits_wide(
         aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts, sublanes
     )
-    return lightmap.at[idx].add(col)
+    return _splat(lightmap, idx, col, cfg)
 
 
 @functools.partial(
@@ -327,7 +338,7 @@ def _trace_emitter_wide(
         idx, col = trace_deposits_wide(
             aa_fields, em_vec, uniforms, n_valid, cfg, group_counts, sublanes
         )
-        return lm.at[idx].add(col)
+        return _splat(lm, idx, col, cfg)
 
     return jax.lax.fori_loop(0, n_batches, body, lightmap)
 

@@ -61,18 +61,21 @@ def bucket_splat(
     colc = col.reshape(-1, chunk, 3)
     n_chunks = hi.shape[0]
 
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (chunk, h_pad), 1)
+    iota_hT = jax.lax.broadcasted_iota(jnp.int32, (h_pad, chunk), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (chunk, LO), 1)
 
     def one_pass(carry_shape_dtype, colors):
         def body(i, acc):
-            oh_hi = (hi[i][:, None] == iota_h).astype(jnp.bfloat16)
+            # build the lhs already transposed: [h_pad, chunk] so the MXU
+            # contraction is a plain matmul (a dim-0 contraction would force
+            # a relayout of the one-hot every chunk)
+            oh_hiT = (hi[i][None, :] == iota_hT).astype(jnp.bfloat16)
             oh_lo = (lo[i][:, None] == iota_l).astype(colors.dtype)
             for ch in range(3):
                 x = (oh_lo * colors[i, :, ch:ch + 1]).astype(jnp.bfloat16)
                 acc_ch = jax.lax.dot_general(
-                    oh_hi, x,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    oh_hiT, x,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [h_pad, LO]
                 acc = acc.at[ch].add(acc_ch)

@@ -55,11 +55,21 @@ def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
         )
         use_pallas = cfg.engine is Engine.PHOTON_PALLAS
         if use_pallas:
-            from .engines import photon_pallas
+            from .ops.aa_scene import pack_aa
 
-            lightmap = photon_pallas.render_photons(
-                rects, emitters, scene.num_texels, cfg.photon
-            )
+            aa = pack_aa(scene.walls)
+            if aa is not None:
+                from .engines import photon_pallas_wide
+
+                lightmap = photon_pallas_wide.render_photons(
+                    rects, emitters, scene.num_texels, cfg.photon, aa
+                )
+            else:
+                from .engines import photon_pallas
+
+                lightmap = photon_pallas.render_photons(
+                    rects, emitters, scene.num_texels, cfg.photon
+                )
         else:
             lightmap = photon.render_photons(
                 rects, emitters, scene.num_texels, cfg.photon

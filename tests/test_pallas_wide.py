@@ -17,7 +17,11 @@ from tests.conftest import FIXTURES
 
 f32 = np.float32
 
-CFG = PhotonConfig(samples_per_area=2000.0, photons_per_batch=512, seed=9)
+# scatter splat: these tests pin exact tracing parity; the bucket splat's
+# bf16 color quantization is covered separately below and in test_splat.py
+CFG = PhotonConfig(
+    samples_per_area=2000.0, photons_per_batch=512, seed=9, splat="scatter"
+)
 
 
 @pytest.fixture(scope="module")
@@ -121,3 +125,38 @@ def test_wide_masks_invalid_photons(tiny):
         )
     )
     np.testing.assert_allclose(half.sum(), lm_xla_half.sum(), rtol=1e-4)
+
+
+@pytest.mark.parametrize("splat,rtol", [("bucket", 6e-3), ("bucket_exact", 1e-4)])
+def test_wide_bucket_splat_modes(tiny, splat, rtol):
+    """Bucket splat vs scatter on identical deposits: single-pass carries
+    the bf16 color quantization, two-pass is f32-grade."""
+    import dataclasses
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B = 512
+    U = photon.uniforms_per_photon(CFG.max_depth)
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(6), (B, U), dtype=np.float32
+    )
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0], wvec=emitters.wvec[0], hvec=emitters.hvec[0],
+        n=emitters.n[0], color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    lm0 = jnp.zeros((scene.num_texels, 3), jnp.float32)
+    ev = photon_pallas.emitter_vector(em)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, CFG, sublanes=4
+            )
+        )
+        got = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B,
+                dataclasses.replace(CFG, splat=splat), sublanes=4,
+            )
+        )
+    np.testing.assert_allclose(got, ref, rtol=rtol, atol=rtol * 10)
