@@ -1,0 +1,120 @@
+"""Fused Pallas splat: deposit binning with VMEM-resident one-hots.
+
+The XLA bucket splat (ops/splat.py) is bound by HBM traffic: XLA must
+materialize the [chunk, H] one-hot operands (~4 GB round-trip per million
+rows). This kernel builds every one-hot tile in VMEM directly from the ids
+and accumulates the [H, 128] lightmap in a revisited VMEM output, so the
+only HBM traffic is the deposits themselves (~20 MB) and the final lightmap.
+
+Layout trick: the MXU matmul needs the deposit axis k on LANES for the lhs
+one-hot and on SUBLANES for the rhs, so the caller passes the ids twice
+(row-major and transposed) — two cheap XLA relayouts instead of per-tile
+in-kernel transposes:
+
+    lhs  oh_hiT [H, 128] = (hi_row[1,128] == iota_h)      k on lanes
+    rhs  x      [128,384] = (lo_col[128,1] == iota_j) * rgb  k on sublanes
+    acc [H, 384] += lhs @ rhs                              (f32 accumulate)
+
+Precision matches ops/splat.bucket_splat's single-pass mode: one-hots are
+exact, colors quantize to bf16 once per deposit (below MC noise).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LO = 128
+K = 128  # deposits per MXU pass
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _make_kernel(H: int, G: int):
+    def kernel(idx_row_ref, idx_col_ref, cr_ref, cg_ref, cb_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, K), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (K, LO), 1)
+        acc = acc_ref[:]
+        for g in range(G):
+            hi_row = idx_row_ref[g:g + 1, :] // LO            # [1, K]
+            ohT = (hi_row == iota_h).astype(jnp.bfloat16)     # [H, K]
+            lo_col = idx_col_ref[:, g:g + 1] % LO             # [K, 1]
+            xj = (lo_col == iota_j).astype(jnp.bfloat16)      # [K, LO]
+            x = jnp.concatenate(
+                [
+                    xj * cr_ref[:, g:g + 1].astype(jnp.bfloat16),
+                    xj * cg_ref[:, g:g + 1].astype(jnp.bfloat16),
+                    xj * cb_ref[:, g:g + 1].astype(jnp.bfloat16),
+                ],
+                axis=1,
+            )                                                  # [K, 3*LO]
+            acc = acc + jax.lax.dot_general(
+                ohT, x,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_texels", "groups"))
+def fused_splat(
+    idx: jnp.ndarray,
+    col: jnp.ndarray,
+    num_texels: int,
+    groups: int = 128,
+) -> jnp.ndarray:
+    """Sum color rows [R,3] into [num_texels,3] by texel id [R] (Pallas).
+
+    `groups` must be a multiple of 128 (Mosaic lane-dim block constraint on
+    the transposed id/color blocks).
+    """
+    assert groups % 128 == 0, groups
+    R = idx.shape[0]
+    t_pad = _round_up(num_texels, LO)
+    H = _round_up(t_pad // LO, 8)
+    step = K * groups
+    r_pad = _round_up(R, step)
+    if r_pad != R:
+        idx = jnp.pad(idx, (0, r_pad - R))
+        col = jnp.pad(col, ((0, r_pad - R), (0, 0)))
+    n_groups = r_pad // K
+
+    idx_row = idx.reshape(n_groups, K)
+    idx_col = idx_row.T                       # [K, n_groups]
+    colT = col.reshape(n_groups, K, 3).transpose(1, 0, 2)  # [K, n_groups, 3]
+
+    kernel = _make_kernel(H, groups)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_groups // groups,),
+        in_specs=[
+            pl.BlockSpec((groups, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LO), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LO), jnp.float32),
+    )(idx_row, idx_col, colT[..., 0], colT[..., 1], colT[..., 2])
+    # acc[h, ch*LO + j] -> texel h*LO + j, channel ch
+    out = acc.reshape(H, 3, LO).transpose(0, 2, 1).reshape(H * LO, 3)
+    return out[:num_texels]

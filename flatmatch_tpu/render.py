@@ -53,7 +53,17 @@ def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
             cfg.photon.window_color,
             cfg.photon.light_color,
         )
+        import jax
+
         use_pallas = cfg.engine is Engine.PHOTON_PALLAS
+        if use_pallas and jax.default_backend() != "tpu":
+            from .utils.progress import warn
+
+            warn(
+                "photon_pallas requested off-TPU; falling back to the XLA "
+                "engine (same physics, same RNG schedule)"
+            )
+            use_pallas = False
         if use_pallas:
             from .ops.aa_scene import pack_aa
 

@@ -46,3 +46,31 @@ def test_bucket_splat_deterministic():
     a = np.asarray(bucket_splat(idx, col, 512))
     b = np.asarray(bucket_splat(idx, col, 512))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_splat_matches_scatter():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.splat_pallas import fused_splat
+
+    R, T = 8192, 1000
+    idx, col = _case(R, T, 4)
+    ref = np.asarray(scatter_splat(jnp.zeros((T, 3), jnp.float32), idx, col))
+    with pltpu.force_tpu_interpret_mode():
+        fast = np.asarray(fused_splat(idx, col, T, groups=128))
+    np.testing.assert_allclose(fast, ref, rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(fast.sum(), ref.sum(), rtol=2e-3)
+
+
+def test_fused_splat_padding():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.splat_pallas import fused_splat
+
+    R, T = 3000, 257
+    idx, col = _case(R, T, 5)
+    col = col.at[50:120].set(0.0)
+    ref = np.asarray(scatter_splat(jnp.zeros((T, 3), jnp.float32), idx, col))
+    with pltpu.force_tpu_interpret_mode():
+        fast = np.asarray(fused_splat(idx, col, T, groups=128))
+    np.testing.assert_allclose(fast, ref, rtol=1e-2, atol=1e-2)
