@@ -34,6 +34,7 @@ import numpy as np  # noqa: E402
 
 from flatmatch_tpu.config import PhotonConfig  # noqa: E402
 from flatmatch_tpu.engines import photon  # noqa: E402
+from flatmatch_tpu.ops.aa_scene import pack_aa  # noqa: E402
 from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects  # noqa: E402
 from flatmatch_tpu.scene import geometry, image as im, layout  # noqa: E402
 
@@ -59,15 +60,32 @@ def main():
     emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)
     n_photons = int(np.asarray(emitters.counts).sum())
 
-    # warmup/compile with a tiny budget at identical shapes
+    # engine: wide AA Pallas megakernel + fused MXU splat on TPU; XLA
+    # engine elsewhere (the Pallas kernels are TPU-only)
+    aa = pack_aa(scene.walls)
+    use_wide = aa is not None and jax.default_backend() == "tpu"
+    if use_wide:
+        from flatmatch_tpu.engines import photon_pallas_wide
+
+        def run(ems):
+            return photon_pallas_wide.render_photons(
+                rects, ems, scene.num_texels, cfg, aa
+            )
+    else:
+        def run(ems):
+            return photon.render_photons(rects, ems, scene.num_texels, cfg)
+
+    # warmup/compile with a tiny budget at identical shapes; axon's
+    # block_until_ready does not actually block, so force a readback
     warm = pack_emitters(scene, spa / 256, cfg.window_color, cfg.light_color)
-    photon.render_photons(rects, warm, scene.num_texels, cfg).block_until_ready()
+    float(np.asarray(run(warm)).sum())
 
     t0 = time.perf_counter()
-    lm = photon.render_photons(rects, emitters, scene.num_texels, cfg)
-    lm.block_until_ready()
+    lm = run(emitters)
+    energy = float(np.asarray(lm).sum())
     dt = time.perf_counter() - t0
     rate = n_photons / dt
+    assert np.isfinite(energy) and energy > 0
 
     vs = None
     baseline_file = REPO / "BASELINE_MEASURED.json"

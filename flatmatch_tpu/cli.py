@@ -40,7 +40,7 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--splat",
-        choices=["bucket", "bucket_exact", "scatter"],
+        choices=["fused", "bucket", "bucket_exact", "scatter"],
         default=DEFAULT_CONFIG.photon.splat,
         help="deposit splat strategy for the Pallas engines",
     )

@@ -71,11 +71,12 @@ class PhotonConfig:
     photons_per_batch: int = 1 << 17
     seed: int = 0
     accum_dtype: str = "float32"
-    # Deposit splat for the Pallas engines: "bucket" = MXU one-hot binning
-    # (fast; colors quantize to bf16 once, far below MC noise),
+    # Deposit splat for the Pallas engines: "fused" = Pallas one-hot MXU
+    # binning with VMEM-resident operands (fastest; colors quantize to bf16
+    # once, far below MC noise), "bucket" = XLA one-hot binning,
     # "bucket_exact" = two-pass f32-precision binning, "scatter" = XLA
     # scatter-add (exact, slow — the XLA engine always uses this).
-    splat: str = "bucket"
+    splat: str = "fused"
 
 
 @dataclasses.dataclass(frozen=True)

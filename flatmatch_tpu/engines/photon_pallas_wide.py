@@ -301,6 +301,10 @@ def trace_deposits_wide(
 def _splat(lightmap, idx, col, cfg: PhotonConfig):
     if cfg.splat == "scatter":
         return lightmap.at[idx].add(col)
+    if cfg.splat == "fused":
+        from ..ops.splat_pallas import fused_splat
+
+        return lightmap + fused_splat(idx, col, lightmap.shape[0])
     from ..ops.splat import bucket_splat
 
     return lightmap + bucket_splat(

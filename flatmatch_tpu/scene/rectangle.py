@@ -109,6 +109,68 @@ def area_f32(r: Rect) -> np.float32:
     return f32(length_f32(r.width) * length_f32(r.height))
 
 
+def distance_to_plane(r: Rect, p: np.ndarray) -> np.float32:
+    """Signed distance from point to the rect's plane
+    (getDistanceToPlane, rectangle.c:436-440)."""
+    d = np.asarray(p, np.float32) - r.pos
+    return f32(np.dot(d, r.n))
+
+
+def is_behind_ray(r: Rect, src, direc) -> bool:
+    """All four corners behind the ray origin (isBehindRay,
+    rectangle.c:97-113)."""
+    src = np.asarray(src, np.float32)
+    direc = np.asarray(direc, np.float32)
+    corners = [
+        r.pos,
+        r.pos + r.width,
+        r.pos + r.height,
+        r.pos + r.width + r.height,
+    ]
+    return all(float(np.dot(c - src, direc)) < 0 for c in corners)
+
+
+def bsp_position(plane: Rect, r: Rect) -> int:
+    """-1/0/+1: rect entirely on the negative/straddling/positive side of
+    the plane (getPosition, rectangle.c:476-506) — the BSP split classifier,
+    kept as a host utility (the TPU path needs no BSP)."""
+    corners = [
+        r.pos,
+        r.pos + r.width,
+        r.pos + r.height,
+        r.pos + r.width + r.height,
+    ]
+    is_left = is_right = False
+    for c in corners:
+        d = float(distance_to_plane(plane, c))
+        is_left |= d < 0
+        is_right |= d > 0
+    if is_left and not is_right:
+        return -1
+    if is_right and not is_left:
+        return 1
+    return 0
+
+
+def shortest_distance_to_point(r: Rect, p) -> np.float32:
+    """Min distance from a point to the (bounded) rectangle
+    (getShortestDistanceRectToPoint, rectangle.c:442-473) — the radiosity
+    candidate-sort key in the reference."""
+    p = np.asarray(p, np.float32)
+    vdist = p - r.pos
+    proj = r.n * f32(np.dot(vdist, r.n))
+    on_plane = p - proj
+    d = on_plane - r.pos
+    hlen = length_f32(r.height)
+    wlen = length_f32(r.width)
+    u = f32(np.dot(d, normalized_f32(r.height)) / hlen)
+    v = f32(np.dot(d, normalized_f32(r.width)) / wlen)
+    u = min(max(u, 0.0), 1.0)
+    v = min(max(v, 0.0), 1.0)
+    clamped = r.pos + r.width * f32(v) + r.height * f32(u)
+    return f32(np.linalg.norm(p - clamped))
+
+
 def tile_center(r: Rect, tile_id: int) -> np.ndarray:
     """Center point of a level-0 tile (rectangle.c:140-154)."""
     if tile_id >= num_tiles(r):
