@@ -44,6 +44,7 @@ if not SCENE_PNG.exists():
 
 TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 17))
+SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 8))
 
 
 def main():
@@ -69,7 +70,7 @@ def main():
 
         def run(ems):
             return photon_pallas_wide.render_photons(
-                rects, ems, scene.num_texels, cfg, aa
+                rects, ems, scene.num_texels, cfg, aa, sublanes=SUBLANES
             )
     else:
         def run(ems):

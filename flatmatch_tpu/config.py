@@ -70,7 +70,6 @@ class PhotonConfig:
     # loop, global_illumination_cl.c:246-267)
     photons_per_batch: int = 1 << 17
     seed: int = 0
-    accum_dtype: str = "float32"
     # Deposit splat for the Pallas engines: "fused" = Pallas one-hot MXU
     # binning with VMEM-resident operands (fastest; colors quantize to bf16
     # once, far below MC noise), "bucket" = XLA one-hot binning,
