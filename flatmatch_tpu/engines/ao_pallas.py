@@ -1,0 +1,195 @@
+"""Pallas ambient-occlusion engine (axis-aligned fast path).
+
+The XLA AO engine (engines/ao.py) materializes [rays, rects] distance tiles
+in HBM and runs ~3x the reference CPU. This kernel reuses the wide photon
+megakernel's structure (engines/photon_pallas_wide.py) for the single
+nearest-hit query AO needs: rays live as [S, 128] component tiles, the
+axis-aligned rect loop keeps a running distance minimum, and misses resolve
+to the sky distance — ~15 VPU ops per (ray, rect), nothing in HBM but the
+rays and the distances.
+
+Ray generation stays in XLA: per-texel centers and per-wall rotated
+geosphere direction tables are tiny gathers. The weighted reduction
+(sum dist*fac / (sum fac * 1.5), photonmap.c:468-475) is a trivial XLA
+epilogue. Results match engines/ao.py to float tolerance (same formulas,
+same tie semantics as the AA photon kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AoConfig
+from ..ops.aa_scene import (
+    A_CU, A_CV, A_HLEN, A_HS, A_O, A_SN, A_WLEN, A_WS, AARectsDev,
+    F_AA, GROUP_UV,
+)
+from ..ops.geosphere import geosphere
+from ..scene.geometry import Scene
+from ..scene.rectangle import num_tiles
+from .ao import tile_centers, wall_directions
+
+f32 = np.float32
+LANES = 128
+_MISS = 1e30
+
+
+def _make_kernel(group_counts, S: int, sky: float):
+    g0, g1, g2 = group_counts
+    starts = (0, g0, g0 + g1)
+
+    def kernel(scene_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               dist_ref):
+        p = (ox_ref[:], oy_ref[:], oz_ref[:])
+        dr = (dx_ref[:], dy_ref[:], dz_ref[:])
+        inv = (1.0 / dr[0], 1.0 / dr[1], 1.0 / dr[2])
+        best = jnp.full((S, LANES), _MISS, jnp.float32)
+
+        for a in range(3):
+            count = group_counts[a]
+            if count == 0:
+                continue
+            au, av = GROUP_UV[a]
+            pa, ia = p[a], inv[a]
+            pu, du_ = p[au], dr[au]
+            pv, dv_ = p[av], dr[av]
+            da_neg = dr[a] < 0
+
+            def body(rr_, best, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
+                     dv_=dv_, da_neg=da_neg, start=starts[a]):
+                j = start + rr_
+                o = scene_ref[A_O, j]
+                sn = scene_ref[A_SN, j]
+                fac = (o - pa) * ia
+                front = jnp.logical_xor(da_neg, sn < 0)
+                u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
+                v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
+                valid = (
+                    front
+                    & (fac >= 0)
+                    & (u >= 0)
+                    & (u <= scene_ref[A_WLEN, j])
+                    & (v >= 0)
+                    & (v <= scene_ref[A_HLEN, j])
+                )
+                dist = jnp.where(valid, fac, _MISS)
+                return jnp.minimum(best, dist)
+
+            best = jax.lax.fori_loop(0, count, body, best)
+
+        dist_ref[:] = jnp.where(best < (_MISS * 0.5), best, sky)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_counts", "sublanes", "sky")
+)
+def nearest_distances(
+    aa_fields: jnp.ndarray,
+    origins: jnp.ndarray,   # [R, 3]
+    dirs: jnp.ndarray,      # [R, 3]
+    group_counts,
+    sublanes: int = 8,
+    sky: float = 10.0,
+) -> jnp.ndarray:
+    """Nearest-hit distance per ray; misses report `sky`."""
+    R = origins.shape[0]
+    S = int(sublanes)
+    TB = S * LANES
+    assert R % TB == 0, (R, TB)
+    n_blocks = R // TB
+
+    def comp(x, c):
+        return x[:, c].reshape(n_blocks * S, LANES)
+
+    N = aa_fields.shape[1]
+    kernel = _make_kernel(tuple(group_counts), S, float(sky))
+    ray_spec = pl.BlockSpec((S, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dist = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 6,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * S, LANES), jnp.float32),
+    )(
+        aa_fields,
+        comp(origins, 0), comp(origins, 1), comp(origins, 2),
+        comp(dirs, 0), comp(dirs, 1), comp(dirs, 2),
+    )
+    return dist.reshape(R)
+
+
+def render_ao(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21
+) -> np.ndarray:
+    """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
+    vs = geosphere(cfg.geosphere_level)
+    K = len(vs)
+    fac = vs[:, 2].astype(f32)
+    fac_sum = f32(fac.sum())
+
+    # flat ray stream over (wall texel, direction)
+    centers = []
+    dir_tables = []
+    spans = []  # (start texel row, wall index)
+    t0 = 0
+    for wi, wall in enumerate(scene.walls):
+        c = tile_centers(wall)
+        centers.append(c)
+        dir_tables.append(wall_directions(wall.n, cfg.geosphere_level))
+        spans.append((t0, wi))
+        t0 += len(c)
+    centers = np.concatenate(centers)              # [T0, 3]
+    wall_of_texel = np.concatenate(
+        [np.full(num_tiles(w), i, np.int32) for i, w in enumerate(scene.walls)]
+    )
+    dir_tables = np.stack(dir_tables)              # [W, K, 3]
+
+    T0 = len(centers)
+    texels = np.zeros((scene.num_texels, 3), f32)
+    vals = np.empty(T0, f32)
+
+    tex_per_call = max(LANES, rays_per_call // K)
+    for s in range(0, T0, tex_per_call):
+        e = min(s + tex_per_call, T0)
+        c = centers[s:e]
+        d = dir_tables[wall_of_texel[s:e]]          # [C, K, 3]
+        origins = (c[:, None, :] + d * 1e-5).reshape(-1, 3).astype(f32)
+        dirs = d.reshape(-1, 3).astype(f32)
+        R = len(origins)
+        pad = (-R) % (8 * LANES)
+        if pad:
+            origins = np.concatenate([origins, np.zeros((pad, 3), f32)])
+            dirs = np.concatenate(
+                [dirs, np.tile(np.array([[0, 0, 1]], f32), (pad, 1))]
+            )
+        dist = np.asarray(
+            nearest_distances(
+                aa.fields,
+                jnp.asarray(origins),
+                jnp.asarray(dirs),
+                aa.group_counts,
+                sky=float(cfg.sky_distance),
+            )
+        )[:R].reshape(-1, K)
+        vals[s:e] = (dist * fac[None, :]).sum(-1) / (
+            fac_sum * f32(cfg.normalization)
+        )
+
+    # write back per wall (grayscale, photonmap.c:474-475)
+    t = 0
+    for wall in scene.walls:
+        n = num_tiles(wall)
+        texels[wall.base : wall.base + n] = vals[t : t + n, None]
+        t += n
+    return texels

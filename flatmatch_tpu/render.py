@@ -97,6 +97,15 @@ def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
         )
         return lightmap * scale[:, None]
     if cfg.engine is Engine.AMBIENT_OCCLUSION:
+        import jax
+
+        from .ops.aa_scene import pack_aa
+
+        aa = pack_aa(scene.walls)
+        if aa is not None and jax.default_backend() == "tpu":
+            from .engines import ao_pallas
+
+            return ao_pallas.render_ao(scene, aa, cfg.ao)
         from .engines import ao
 
         return ao.render_ao(scene, pack_rects(scene.walls), cfg.ao)

@@ -76,3 +76,24 @@ def test_ao_tile_png_matches_reference(idx):
     diff = np.abs(ours.astype(int) - gold.astype(int))
     assert diff.max() <= 1, f"max channel diff {diff.max()}"
     assert (diff > 0).mean() < 0.02
+
+
+def test_ao_pallas_matches_xla_engine():
+    """AA Pallas AO vs the XLA AO engine on tiny (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import ao_pallas
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, xla_tex = _scene("tiny")
+    aa = pack_aa(scene.walls)
+    assert aa is not None
+    with pltpu.force_tpu_interpret_mode():
+        pal_tex = ao_pallas.render_ao(scene, aa, AO_CFG)
+    level0 = scene.level0_mask()
+    a, b = pal_tex[level0], xla_tex[level0]
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-6)
+    # same formulas; only float op order / grazing-tie differences
+    assert (rel < 2e-2).all(), rel.max()
+    assert (rel < 5e-4).mean() > 0.98
+    assert (pal_tex[~level0] == 0).all()
