@@ -229,11 +229,16 @@ def _add_horizontal(out: List[Rect], x, y, dx, dy, z, tile_size):
     )
 
 
-def _decompose_areas(img, scaling, arrays, tile_size, cfg: SceneConfig):
-    """Greedy maximal-run rectangle decomposition of the remaining areas
-    (parseLayout.c:425-491). Destructive on `img`."""
+def _greedy_rect_runs(img):
+    """Greedy maximal-run decomposition runs (x_start, y, x_end+1, y_end+1,
+    color) in the reference's scan order (parseLayout.c:425-491).
+    Destructive on `img`. Dispatches to the C++ kernel when available."""
+    nat = im._native()
+    if nat is not None and img.flags.c_contiguous:
+        for x0, y0, x1, y1, color in nat.decompose(img, im.INVALIDATED):
+            yield int(x0), int(y0), int(x1), int(y1), int(color)
+        return
     h, w = img.shape
-    H = f32(cfg.height)
     for y in range(h):
         x = 0
         while x < w:
@@ -248,41 +253,45 @@ def _decompose_areas(img, scaling, arrays, tile_size, cfg: SceneConfig):
             y_end = y + 1
             while y_end < h and bool(np.all(img[y_end, x_start : x_end + 1] == color)):
                 y_end += 1
-            y_end -= 1
-            img[y : y_end + 1, x_start : x_end + 1] = im.INVALIDATED
-            y_end += 1  # cover to the end of the pixel row
-            x_end += 1
-
-            sx0 = f32(f32(x_start) * scaling)
-            sx1 = f32(f32(x_end) * scaling)
-            sy0 = f32(f32(y) * scaling)
-            dxf = f32(f32(x_start - x_end) * scaling)  # x_end -> x_start
-            dxr = f32(f32(x_end - x_start) * scaling)
-            dyf = f32(f32(y_end - y) * scaling)
-            walls = arrays["walls"]
-            if color == im.WINDOW:
-                _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(cfg.window_low), tile_size)
-                _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.window_high), tile_size)
-            elif color == im.BALCONY_WINDOW:
-                _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(cfg.window_low), tile_size)
-                _add_horizontal(walls, sx0, sy0, dxr, dyf, H, tile_size)
-            elif color == im.EMPTY:
-                _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
-                _add_horizontal(walls, sx0, sy0, dxr, dyf, H, tile_size)
-            elif color == im.DOOR:
-                _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
-                _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.door_height), tile_size)
-            elif color == im.BALCONY_DOOR:
-                _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
-                _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.window_high), tile_size)
-
-            if color != im.OUTSIDE:
-                box = arrays["box"]
-                ztop = _resolve_z(_BOX_HI, cfg)
-                zbot = _resolve_z(_BOX_LO, cfg)
-                _add_horizontal(box, sx1, sy0, dxf, dyf, ztop, tile_size)
-                _add_horizontal(box, sx0, sy0, dxr, dyf, zbot, tile_size)
+            img[y:y_end, x_start : x_end + 1] = im.INVALIDATED
+            yield x_start, y, x_end + 1, y_end, color
             x += 1
+
+
+def _decompose_areas(img, scaling, arrays, tile_size, cfg: SceneConfig):
+    """Emit floors/ceilings/window-frame rects from the greedy decomposition
+    (parseLayout.c:425-491)."""
+    H = f32(cfg.height)
+    for x_start, y, x_end, y_end, color in _greedy_rect_runs(img):
+        sx0 = f32(f32(x_start) * scaling)
+        sx1 = f32(f32(x_end) * scaling)
+        sy0 = f32(f32(y) * scaling)
+        dxf = f32(f32(x_start - x_end) * scaling)  # x_end -> x_start
+        dxr = f32(f32(x_end - x_start) * scaling)
+        dyf = f32(f32(y_end - y) * scaling)
+        walls = arrays["walls"]
+        if color == im.WINDOW:
+            _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(cfg.window_low), tile_size)
+            _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.window_high), tile_size)
+        elif color == im.BALCONY_WINDOW:
+            _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(cfg.window_low), tile_size)
+            _add_horizontal(walls, sx0, sy0, dxr, dyf, H, tile_size)
+        elif color == im.EMPTY:
+            _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
+            _add_horizontal(walls, sx0, sy0, dxr, dyf, H, tile_size)
+        elif color == im.DOOR:
+            _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
+            _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.door_height), tile_size)
+        elif color == im.BALCONY_DOOR:
+            _add_horizontal(walls, sx1, sy0, dxf, dyf, f32(0.0), tile_size)
+            _add_horizontal(walls, sx0, sy0, dxr, dyf, f32(cfg.window_high), tile_size)
+
+        if color != im.OUTSIDE:
+            box = arrays["box"]
+            ztop = _resolve_z(_BOX_HI, cfg)
+            zbot = _resolve_z(_BOX_LO, cfg)
+            _add_horizontal(box, sx1, sy0, dxf, dyf, ztop, tile_size)
+            _add_horizontal(box, sx0, sy0, dxr, dyf, zbot, tile_size)
 
 
 def parse_layout(
