@@ -93,6 +93,68 @@ def _form_factor_chunk(rects: RectsDev, centers, normal, key, rays: int):
     return ids.reshape(C, rays).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("rays",))
+def _ff_rays(centers, normal, key, rays: int):
+    """Cosine-distributed form-factor rays from texel centers: returns
+    (origins [C*rays, 3], dirs [C*rays, 3]) — the sampling half of
+    _form_factor_chunk, shared by the Pallas intersector path."""
+    C = centers.shape[0]
+    u = jax.random.uniform(key, (C, rays, 2), dtype=jnp.float32)
+    r = jnp.sqrt(u[..., 0])
+    phi = jnp.float32(TWO_PI_REF) * u[..., 1]
+    du = r * jnp.cos(phi)
+    dv = r * jnp.sin(phi)
+    dn = jnp.sqrt(1.0 - r * r)
+    ndir = jnp.broadcast_to(normal, (C, 3))
+    udir, vdir = build_base(ndir)
+    direc = (
+        udir[:, None, :] * du[..., None]
+        + vdir[:, None, :] * dv[..., None]
+        + ndir[:, None, :] * dn[..., None]
+    ).reshape(C * rays, 3)
+    src = (centers[:, None, :] + 1e-5 * direc.reshape(C, rays, 3)).reshape(
+        C * rays, 3
+    )
+    return src, direc
+
+
+def form_factors_aa(scene: Scene, aa, cfg: RadiosityConfig) -> np.ndarray:
+    """form_factors on the Pallas AA nearest-hit kernel (ops/aa_query.py):
+    same sampling keys and formulas as the XLA path, ~20x the ray rate on
+    TPU. `aa` must pack the EXTENDED rect set (walls+windows+lights)."""
+    from ..ops.aa_query import MISS, aa_nearest
+
+    rays = int(cfg.rays_per_texel)
+    chunk = int(cfg.texels_per_chunk)
+    ids = np.full((scene.num_texels, rays), -1, np.int32)
+    key = jax.random.PRNGKey(cfg.seed)
+    TB = 8 * 128
+    for wi, wall in enumerate(scene.walls):
+        centers = tile_centers(wall)
+        T = num_tiles(wall)
+        normal = jnp.asarray(wall.n)
+        for ci, s in enumerate(range(0, T, chunk)):
+            c = centers[s : s + chunk]
+            n_real = len(c)
+            if n_real < chunk:
+                c = np.concatenate([c, np.zeros((chunk - n_real, 3), f32)])
+            k = jax.random.fold_in(jax.random.fold_in(key, wi), ci)
+            src, direc = _ff_rays(jnp.asarray(c), normal, k, rays)
+            R = src.shape[0]
+            pad = (-R) % TB
+            if pad:
+                src = jnp.pad(src, ((0, pad), (0, 0)))
+                direc = jnp.pad(
+                    direc, ((0, pad), (0, 0)), constant_values=1.0
+                )
+            dist, tex = aa_nearest(aa.fields, src, direc, aa.group_counts)
+            tex = np.asarray(
+                jnp.where(dist < MISS * 0.5, tex, -1)
+            )[:R].reshape(chunk, rays)
+            ids[wall.base + s : wall.base + s + n_real] = tex[:n_real]
+    return ids
+
+
 def form_factors(
     scene: Scene,
     rects_dev: RectsDev,
@@ -134,7 +196,6 @@ def _gather_chunk(src, ids_chunk):
 
 def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     rects, total, first_window, first_light = extended_rects(scene)
-    rects_dev = pack_rects(rects)
     plan = build_plan(rects)
 
     # emissive init (radiosityNative.c:135-145)
@@ -142,7 +203,15 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     src[first_window:first_light] = np.asarray(cfg.window_emission, f32)
     src[first_light:total] = np.asarray(cfg.light_emission, f32)
 
-    ids = form_factors(scene, rects_dev, cfg)
+    aa = None
+    if jax.default_backend() == "tpu":
+        from ..ops.aa_scene import pack_aa
+
+        aa = pack_aa(rects)
+    if aa is not None:
+        ids = form_factors_aa(scene, aa, cfg)
+    else:
+        ids = form_factors(scene, pack_rects(rects), cfg)
 
     rho = f32(cfg.reflectance)
     rays = int(cfg.rays_per_texel)

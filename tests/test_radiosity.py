@@ -99,3 +99,22 @@ def test_iterations_propagate_light(mini):
         mini, dataclasses.replace(CFG, iterations=7)
     )
     assert seven.sum() > one.sum()
+
+
+def test_form_factors_aa_matches_xla(mini):
+    """Pallas AA form-factor pass vs the XLA pass at the same sampling keys
+    (interpret mode): identical rays, so ids match except float-tie flips."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    small = dataclasses.replace(CFG, rays_per_texel=32)
+    rects, total, _, _ = radiosity.extended_rects(mini)
+    ids_xla = radiosity.form_factors(mini, pack_rects(rects), small)
+    aa = pack_aa(rects)
+    assert aa is not None
+    with pltpu.force_tpu_interpret_mode():
+        ids_aa = radiosity.form_factors_aa(mini, aa, small)
+    assert ids_aa.shape == ids_xla.shape
+    match = (ids_aa == ids_xla).mean()
+    assert match > 0.995, f"only {match:.4%} ids agree"
