@@ -26,7 +26,7 @@ residual memory — no stored paths, no per-batch carries (SURVEY.md §7 step 6)
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import PhotonConfig
 from ..ops.aa_scene import (
     A_BASE, A_CU, A_CV, A_HLEN, A_HS, A_HT, A_KTU, A_KTV, A_O, A_SN,
-    A_WLEN, A_WS, A_WT, AARectsDev, F_AA, GROUP_UV, pack_aa,
+    A_WLEN, A_WS, A_WT, AARectsDev, F_AA, GROUP_UV,
 )
 from ..ops.device_scene import EmittersDev, RectsDev
 from ..ops.sampling import TWO_PI_REF
