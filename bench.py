@@ -43,8 +43,8 @@ if not SCENE_PNG.exists():
     SCENE_PNG = REPO / "tests" / "fixtures" / "mini.png"
 
 TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
-BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 17))
-SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 8))
+BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
+SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 32))
 
 
 def main():

@@ -353,10 +353,16 @@ def render_photons(
     num_texels: int,
     cfg: PhotonConfig,
     aa: AARectsDev,
-    sublanes: int = 8,
+    sublanes: int = None,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA path (same per-emitter schedule and
-    RNG keying as the other engines)."""
+    RNG keying as the other engines).
+
+    `sublanes` sets the photon-block height (TB = sublanes*128); measured
+    best on v5e is 32 at the default batch size (bench sweep 2026-08-17),
+    auto-clamped so a block never exceeds the batch."""
+    if sublanes is None:
+        sublanes = max(1, min(32, int(cfg.photons_per_batch) // LANES))
     lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)
