@@ -44,7 +44,7 @@ if not SCENE_PNG.exists():
 
 TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
-SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 32))
+SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
 
 
 def main():

@@ -359,10 +359,10 @@ def render_photons(
     RNG keying as the other engines).
 
     `sublanes` sets the photon-block height (TB = sublanes*128); measured
-    best on v5e is 32 at the default batch size (bench sweep 2026-08-17),
+    best on v5e is 64 at the default batch size (bench sweeps 2026-08-17),
     auto-clamped so a block never exceeds the batch."""
     if sublanes is None:
-        sublanes = max(1, min(32, int(cfg.photons_per_batch) // LANES))
+        sublanes = max(1, min(64, int(cfg.photons_per_batch) // LANES))
     lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)
