@@ -129,62 +129,70 @@ def nearest_distances(
     return dist.reshape(R)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("group_counts", "K", "sky", "normalization")
+)
+def _ao_texel_chunk(
+    aa_fields, centers, dirs, fac, group_counts, K: int, sky, normalization
+):
+    """AO values for a padded [C] texel chunk: rays expanded ON DEVICE from
+    the per-texel centers [C,3] and per-texel direction tables [C,K,3] (the
+    host->device stream is tiny; expanding rays on the host would push
+    C*K*6 floats through the interconnect per chunk)."""
+    C = centers.shape[0]
+    origins = (centers[:, None, :] + dirs * 1e-5).reshape(C * K, 3)
+    flat_dirs = dirs.reshape(C * K, 3)
+    dist = nearest_distances(
+        aa_fields, origins, flat_dirs, group_counts, sky=sky
+    ).reshape(C, K)
+    return jnp.sum(dist * fac[None, :], axis=-1) / (
+        jnp.sum(fac) * normalization
+    )
+
+
 def render_ao(
     scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21
 ) -> np.ndarray:
     """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
     vs = geosphere(cfg.geosphere_level)
     K = len(vs)
-    fac = vs[:, 2].astype(f32)
-    fac_sum = f32(fac.sum())
+    fac = jnp.asarray(vs[:, 2].astype(f32))
 
-    # flat ray stream over (wall texel, direction)
-    centers = []
-    dir_tables = []
-    spans = []  # (start texel row, wall index)
-    t0 = 0
-    for wi, wall in enumerate(scene.walls):
-        c = tile_centers(wall)
-        centers.append(c)
-        dir_tables.append(wall_directions(wall.n, cfg.geosphere_level))
-        spans.append((t0, wi))
-        t0 += len(c)
-    centers = np.concatenate(centers)              # [T0, 3]
+    # small per-texel tables; ray expansion happens on device
+    centers = np.concatenate([tile_centers(w) for w in scene.walls])
     wall_of_texel = np.concatenate(
         [np.full(num_tiles(w), i, np.int32) for i, w in enumerate(scene.walls)]
     )
-    dir_tables = np.stack(dir_tables)              # [W, K, 3]
+    dir_tables = jnp.asarray(
+        np.stack(
+            [wall_directions(w.n, cfg.geosphere_level) for w in scene.walls]
+        )
+    )  # [W, K, 3]
+    centers_dev = jnp.asarray(centers)
+    wall_dev = jnp.asarray(wall_of_texel)
 
     T0 = len(centers)
     texels = np.zeros((scene.num_texels, 3), f32)
     vals = np.empty(T0, f32)
 
     tex_per_call = max(LANES, rays_per_call // K)
+    # pad chunk so C*K is a multiple of the kernel block (K=481 is odd, so
+    # use a chunk multiple of 8*128 texels worth of rays via lcm trick:
+    # C*K % 1024 == 0 iff C % 1024 == 0 when gcd(K,1024)=1)
+    tex_per_call = max(1024, (tex_per_call // 1024) * 1024)
     for s in range(0, T0, tex_per_call):
         e = min(s + tex_per_call, T0)
-        c = centers[s:e]
-        d = dir_tables[wall_of_texel[s:e]]          # [C, K, 3]
-        origins = (c[:, None, :] + d * 1e-5).reshape(-1, 3).astype(f32)
-        dirs = d.reshape(-1, 3).astype(f32)
-        R = len(origins)
-        pad = (-R) % (8 * LANES)
-        if pad:
-            origins = np.concatenate([origins, np.zeros((pad, 3), f32)])
-            dirs = np.concatenate(
-                [dirs, np.tile(np.array([[0, 0, 1]], f32), (pad, 1))]
+        n_real = e - s
+        idxs = jnp.arange(s, s + tex_per_call) % T0  # wrap-pad
+        c = centers_dev[idxs]
+        d = dir_tables[wall_dev[idxs]]
+        out = np.asarray(
+            _ao_texel_chunk(
+                aa.fields, c, d, fac, aa.group_counts, K,
+                float(cfg.sky_distance), float(cfg.normalization),
             )
-        dist = np.asarray(
-            nearest_distances(
-                aa.fields,
-                jnp.asarray(origins),
-                jnp.asarray(dirs),
-                aa.group_counts,
-                sky=float(cfg.sky_distance),
-            )
-        )[:R].reshape(-1, K)
-        vals[s:e] = (dist * fac[None, :]).sum(-1) / (
-            fac_sum * f32(cfg.normalization)
         )
+        vals[s:e] = out[:n_real]
 
     # write back per wall (grayscale, photonmap.c:474-475)
     t = 0
