@@ -30,6 +30,10 @@ if os.environ.get("FLATMATCH_BENCH_CPU") == "1":
 else:
     import jax
 
+from flatmatch_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 
 from flatmatch_tpu.config import PhotonConfig  # noqa: E402

@@ -108,6 +108,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = _build_cfg(args)
 
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.cmd == "render":
         from .render import render
 
