@@ -45,7 +45,6 @@ class SceneConfig:
     box_margin: float = 0.2               # parseLayout.c:79,104
     collision_dilate_radius: int = 5      # parseLayout.c:616
     light_edge_divisor: float = 9.0       # parseLayout.c:266
-    light_skeletal_fraction: float = 0.9  # parseLayout.c:240
     light_z_offset: float = 0.001         # parseLayout.c:279 (HEIGHT-0.001)
     texel_cap_bytes: int = 1000 * 1000 * 1000  # parseLayout.c:520
     write_filled_debug_png: bool = False  # parseLayout.c:314 always writes; opt-in here
@@ -99,7 +98,6 @@ class RadiosityConfig:
     light_emission: Tuple[float, float, float] = (28.0, 28.0, 32.0)   # :142
     seed: int = 0
     texels_per_chunk: int = 512
-    rays_per_chunk: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,8 +91,10 @@ def _texel_index_np(rects, hit, p):
     pdir = p - pos_r
     dx = np.sum(w_u * pdir, -1, dtype=f32)
     dy = np.sum(h_u * pdir, -1, dtype=f32)
-    tx = np.clip((dx * wt / wlen).astype(np.int32), 0, wt - 1)
-    ty = np.clip((dy * ht / hlen).astype(np.int32), 0, ht - 1)
+    # keep the tile math in float32 like the device path (int32 operands
+    # would promote the product to float64 and shift tile-boundary rounding)
+    tx = np.clip((dx * wt.astype(f32) / wlen).astype(np.int32), 0, wt - 1)
+    ty = np.clip((dy * ht.astype(f32) / hlen).astype(np.int32), 0, ht - 1)
     return base + ty * wt + tx
 
 

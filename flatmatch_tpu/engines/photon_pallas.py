@@ -54,8 +54,19 @@ _MISS = 1e30  # sentinel distance for "no hit" (avoids inf arithmetic)
 
 
 def scene_matrix(rects: RectsDev) -> jnp.ndarray:
-    """Pack the rect SoA into the [F, N] field matrix (f32; base/wtiles are
-    exact in f32 for any scene below the 1 GB texel cap)."""
+    """Pack the rect SoA into the [F, N] field matrix.
+
+    Texel ids are computed in f32 inside the kernels, exact only up to 2^24;
+    larger arenas must use the XLA engine (int32 ids throughout).
+    """
+    max_id = int(np.max(np.asarray(rects.base))) + int(
+        np.max(np.asarray(rects.wtiles) * np.asarray(rects.htiles))
+    )
+    if max_id >= (1 << 24):
+        raise ValueError(
+            f"texel arena too large for f32-exact Pallas texel ids "
+            f"({max_id} >= 2^24); use the XLA photon engine"
+        )
     rows = [
         rects.pos[:, 0], rects.pos[:, 1], rects.pos[:, 2],
         rects.n[:, 0], rects.n[:, 1], rects.n[:, 2],

@@ -361,8 +361,17 @@ def render_photons(
     `sublanes` sets the photon-block height (TB = sublanes*128); measured
     best on v5e is 64 at the default batch size (bench sweeps 2026-08-17),
     auto-clamped so a block never exceeds the batch."""
+    B_cfg = int(cfg.photons_per_batch)
+    if B_cfg % LANES:
+        raise ValueError(
+            f"photons_per_batch must be a multiple of {LANES} for the wide "
+            f"Pallas engine (got {B_cfg}); use the XLA engine otherwise"
+        )
     if sublanes is None:
-        sublanes = max(1, min(64, int(cfg.photons_per_batch) // LANES))
+        sublanes = 64
+    # the photon-block height must divide the batch
+    while sublanes > 1 and B_cfg % (sublanes * LANES):
+        sublanes //= 2
     lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)

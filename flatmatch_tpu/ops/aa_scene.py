@@ -105,6 +105,11 @@ def pack_aa(rects: List[Rect]) -> Optional[AARectsDev]:
                 f32(r.htiles) / hlen,
             ]
         )
+    max_id = max(
+        (r.base + r.wtiles * r.htiles for r in rects), default=0
+    )
+    if max_id >= (1 << 24):
+        return None  # f32 texel ids exact only to 2^24; fall back to general
     rows = groups[0] + groups[1] + groups[2]
     fields = np.asarray(rows, f32).T.copy()  # [F_AA, N]
     return AARectsDev(

@@ -42,11 +42,13 @@ class RectsDev(NamedTuple):
 
 
 class EmittersDev(NamedTuple):
-    """Photon emitters (windows then lights), concatenated and padded.
+    """Photon emitters (windows then lights), concatenated.
 
-    The reference loops emitters serially (global_illumination_cl.c:304-308);
-    the TPU path batches all photons into one tensor with a per-photon emitter
-    id resolved against `cum_counts` (SURVEY.md §2 scheduling row).
+    Engines drive emitters with a host loop in the reference dispatch order
+    (global_illumination_cl.c:304-308), tracing each budget as fixed-shape
+    device batches with a masked tail. `counts` stays a HOST int64 array:
+    production budgets exceed int32 (1e8/m^2 x tens of m^2) and jnp would
+    silently wrap them.
     """
 
     pos: jnp.ndarray       # [E,3]
@@ -56,8 +58,7 @@ class EmittersDev(NamedTuple):
     color: jnp.ndarray     # [E,3] initial photon flux color
     is_window: jnp.ndarray  # [E] bool: sky sampler vs cosine sampler
     area: jnp.ndarray      # [E]
-    counts: jnp.ndarray    # [E] int64 photon budget per emitter
-    cum_counts: jnp.ndarray  # [E] inclusive cumsum of counts
+    counts: np.ndarray     # [E] int64 photon budget per emitter (host)
 
 
 def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
@@ -106,9 +107,10 @@ def pack_emitters(
 ) -> EmittersDev:
     """Emitter table with per-emitter photon budgets.
 
-    Budgets follow the native engine: numSamples = samplesPerArea * area
-    (photonmap.c:417-418). Windows come first, then lights, matching the
-    reference dispatch order (global_illumination_cl.c:304-308).
+    Budgets follow the native engine: numSamples = (uint64)(samplesPerArea
+    * area), i.e. truncation of the float product (photonmap.c:417-418).
+    Windows come first, then lights, matching the reference dispatch order
+    (global_illumination_cl.c:304-308).
     """
     ems = list(scene.windows) + list(scene.lights)
     n_win = len(scene.windows)
@@ -119,7 +121,7 @@ def pack_emitters(
     hvec = np.array([r.height for r in ems], f32)
     nrm = np.array([r.n for r in ems], f32)
     area = np.array([area_f32(r) for r in ems], f32)
-    counts = np.int64(np.ceil(np.float64(samples_per_area) * area))
+    counts = (np.float32(samples_per_area) * area).astype(np.int64)
     color = np.array(
         [window_color] * n_win + [light_color] * (len(ems) - n_win), f32
     )
@@ -132,8 +134,7 @@ def pack_emitters(
         color=jnp.asarray(color),
         is_window=jnp.asarray(is_window),
         area=jnp.asarray(area),
-        counts=jnp.asarray(counts),
-        cum_counts=jnp.asarray(np.cumsum(counts)),
+        counts=counts,
     )
 
 

@@ -44,8 +44,7 @@ def initialize(
     deployments.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     kwargs = {}
     if coordinator is not None:
@@ -54,6 +53,8 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    # NOTE: must run before ANY other jax call — even jax.process_count()
+    # initializes the XLA backend and would make this raise.
     try:
         jax.distributed.initialize(**kwargs)
         _initialized = True
@@ -61,8 +62,10 @@ def initialize(
             f"distributed runtime up: process {jax.process_index()}/"
             f"{jax.process_count()}, {jax.device_count()} global devices"
         )
-    except Exception as e:  # single-host fallback
-        info(f"single-host mode ({type(e).__name__}: {e})")
+    except RuntimeError as e:
+        # already initialized (e.g. auto-init by the runtime) or single-host
+        _initialized = True
+        info(f"distributed init skipped ({e})")
 
 
 def is_primary() -> bool:

@@ -33,7 +33,7 @@ class RenderResult:
 def compile_scene(layout_png: str, scale: float, cfg: RenderConfig):
     """Layout PNG -> compiled scene + collision JSON (main.c:33-52)."""
     img = im.load_layout(layout_png)
-    collision_json = collision.build_collision_map(img)
+    collision_json = collision.build_collision_map(img, cfg.scene)
     lay = layout.parse_layout(
         img, f32(1.0) / f32(scale), cfg.scene.tile_size, cfg.scene
     )
@@ -62,6 +62,14 @@ def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
             warn(
                 "photon_pallas requested off-TPU; falling back to the XLA "
                 "engine (same physics, same RNG schedule)"
+            )
+            use_pallas = False
+        if use_pallas and scene.num_texels >= (1 << 24):
+            from .utils.progress import warn
+
+            warn(
+                "texel arena exceeds 2^24 (f32-exact Pallas ids); using the "
+                "XLA engine"
             )
             use_pallas = False
         if use_pallas:

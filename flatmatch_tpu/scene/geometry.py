@@ -2,9 +2,9 @@
 
 The reference keeps the scene as an array-of-structs Geometry
 (/root/reference/geometry.h:7-15) for OpenCL; the TPU framework packs it as a
-struct-of-arrays (SoA) so ray-rectangle intersection vectorizes over the rect
-axis (padded to a lane multiple). The JSON writer reproduces
-writeJsonOutput (/root/reference/geometry.c:57-90) byte-for-byte.
+struct-of-arrays for the device (ops/device_scene.pack_rects). The JSON
+writer reproduces writeJsonOutput (/root/reference/geometry.c:57-90)
+byte-for-byte.
 """
 from __future__ import annotations
 
@@ -17,58 +17,6 @@ from .layout import ParsedLayout
 from .rectangle import Rect, length_f32, num_mipmap_texels, num_tiles
 
 f32 = np.float32
-
-
-@dataclasses.dataclass
-class RectSoA:
-    """Packed rectangle set. All float32; padded entries have n == 0 so they
-    never produce a front-face hit (intersects() culls denom >= 0,
-    rectangle.c:67-72)."""
-
-    pos: np.ndarray      # [N,3]
-    width: np.ndarray    # [N,3]
-    height: np.ndarray   # [N,3]
-    n: np.ndarray        # [N,3]
-    base: np.ndarray     # [N] int32 texel arena base index
-    wtiles: np.ndarray   # [N] int32
-    htiles: np.ndarray   # [N] int32
-    count: int           # real (unpadded) rect count
-
-    @staticmethod
-    def pack(rects: List[Rect], pad_to: int = 1) -> "RectSoA":
-        n = len(rects)
-        npad = max(((n + pad_to - 1) // pad_to) * pad_to, pad_to)
-        soa = RectSoA(
-            pos=np.zeros((npad, 3), f32),
-            width=np.zeros((npad, 3), f32),
-            height=np.zeros((npad, 3), f32),
-            n=np.zeros((npad, 3), f32),
-            base=np.zeros(npad, np.int32),
-            wtiles=np.ones(npad, np.int32),
-            htiles=np.ones(npad, np.int32),
-            count=n,
-        )
-        for i, r in enumerate(rects):
-            soa.pos[i] = r.pos
-            soa.width[i] = r.width
-            soa.height[i] = r.height
-            soa.n[i] = r.n
-            soa.base[i] = r.base
-            soa.wtiles[i] = r.wtiles
-            soa.htiles[i] = r.htiles
-        return soa
-
-    @property
-    def wlen(self) -> np.ndarray:
-        return np.array([length_f32(w) for w in self.width], f32)
-
-    @property
-    def hlen(self) -> np.ndarray:
-        return np.array([length_f32(h) for h in self.height], f32)
-
-    @property
-    def area(self) -> np.ndarray:
-        return self.wlen * self.hlen
 
 
 @dataclasses.dataclass
