@@ -194,6 +194,62 @@ def _gather_chunk(src, ids_chunk):
     return jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_ids(ids, chunk_ids, start):
+    return jax.lax.dynamic_update_slice(ids, chunk_ids, (start, 0))
+
+
+def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
+                         rows_pad: int, use_aa: bool) -> jnp.ndarray:
+    """Source-texel-id table as a DEVICE-resident [rows_pad, rays] int32.
+
+    At production scale the table is gigabytes (numTexels x 10k rays, the
+    reference's acknowledged memory hog, radiosityNative.c:148-154); it fits
+    v5e HBM, and keeping it on device removes the host round-trip that would
+    otherwise stream it out once and back every gather iteration."""
+    rays = int(cfg.rays_per_texel)
+    chunk = int(cfg.texels_per_chunk)
+    ids = jnp.full((rows_pad, rays), -1, jnp.int32)
+    key = jax.random.PRNGKey(cfg.seed)
+    TB = 8 * 128
+    for wi, wall in enumerate(scene.walls):
+        centers = tile_centers(wall)
+        T = num_tiles(wall)
+        normal = jnp.asarray(wall.n)
+        for ci, s in enumerate(range(0, T, chunk)):
+            c = centers[s : s + chunk]
+            n_real = len(c)
+            if n_real < chunk:
+                c = np.concatenate([c, np.zeros((chunk - n_real, 3), f32)])
+            k = jax.random.fold_in(jax.random.fold_in(key, wi), ci)
+            if use_aa:
+                from ..ops.aa_query import MISS, aa_nearest
+
+                src_r, direc = _ff_rays(jnp.asarray(c), normal, k, rays)
+                R = src_r.shape[0]
+                pad = (-R) % TB
+                if pad:
+                    src_r = jnp.pad(src_r, ((0, pad), (0, 0)))
+                    direc = jnp.pad(
+                        direc, ((0, pad), (0, 0)), constant_values=1.0
+                    )
+                dist, tex = aa_nearest(
+                    rects_or_aa.fields, src_r, direc, rects_or_aa.group_counts
+                )
+                chunk_ids = jnp.where(dist < MISS * 0.5, tex, -1)[:R].reshape(
+                    chunk, rays
+                )
+            else:
+                chunk_ids = _form_factor_chunk(
+                    rects_or_aa, jnp.asarray(c), normal, k, rays
+                )
+            # padded rows of the last chunk land in this wall's mipmap slots
+            # (or the next wall's rows, which a later write overwrites); the
+            # caller masks non-level-0 rows back to -1 afterwards.
+            ids = _write_ids(ids, chunk_ids, wall.base + s)
+    return ids
+
+
 def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     rects, total, first_window, first_light = extended_rects(scene)
     plan = build_plan(rects)
@@ -208,24 +264,49 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
         from ..ops.aa_scene import pack_aa
 
         aa = pack_aa(rects)
-    if aa is not None:
-        ids = form_factors_aa(scene, aa, cfg)
-    else:
-        ids = form_factors(scene, pack_rects(rects), cfg)
 
     rho = f32(cfg.reflectance)
     rays = int(cfg.rays_per_texel)
     chunk = max(1, (1 << 22) // max(rays, 1))  # ~4M gathered ids per step
+    n_chunks = (scene.num_texels + chunk - 1) // chunk
+    rows_pad = n_chunks * chunk
+
+    if aa is not None:
+        ids_dev = _form_factors_device(scene, aa, cfg, rows_pad, use_aa=True)
+    else:
+        ids_dev = _form_factors_device(
+            scene, pack_rects(rects), cfg, rows_pad, use_aa=False
+        )
+    # only level-0 wall texels fire rays (radiosityNative.c:170); reset any
+    # rows clobbered by chunk padding
+    level0 = np.zeros(rows_pad, bool)
+    l0 = scene.level0_mask()
+    level0[: len(l0)] = l0
+    ids_dev = jnp.where(jnp.asarray(level0)[:, None], ids_dev, -1)
+
+    num_texels = scene.num_texels
+
+    @jax.jit
+    def iteration(src_dev, ids):
+        def body(i, dest):
+            sl = jax.lax.dynamic_slice(ids, (i * chunk, 0), (chunk, rays))
+            d = _gather_chunk(src_dev, sl)
+            return jax.lax.dynamic_update_slice(dest, d, (i * chunk, 0))
+
+        dest = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((rows_pad, 3), jnp.float32)
+        )
+        dest_full = (
+            jnp.zeros((total, 3), jnp.float32)
+            .at[:num_texels]
+            .set(dest[:num_texels])
+        )
+        nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays)
+        return apply_plan(nxt, plan)
+
     src_dev = jnp.asarray(src)
     for _ in range(int(cfg.iterations)):
-        dest = np.zeros((total, 3), f32)
-        for s in range(0, scene.num_texels, chunk):
-            e = min(s + chunk, scene.num_texels)
-            dest[s:e] = np.asarray(
-                _gather_chunk(src_dev, jnp.asarray(ids[s:e]))
-            )
-        src_dev = src_dev * (1.0 - rho) + jnp.asarray(dest) * (rho / rays)
-        src_dev = apply_plan(src_dev, plan)
+        src_dev = iteration(src_dev, ids_dev)
 
-    out = np.asarray(src_dev)[: scene.num_texels].copy()
+    out = np.asarray(src_dev)[:num_texels].copy()
     return out
