@@ -269,7 +269,12 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     rays = int(cfg.rays_per_texel)
     chunk = max(1, (1 << 22) // max(rays, 1))  # ~4M gathered ids per step
     n_chunks = (scene.num_texels + chunk - 1) // chunk
-    rows_pad = n_chunks * chunk
+    # table must also fit the LAST form-factor chunk's padding in full —
+    # dynamic_update_slice clamps out-of-bounds starts, which would shift
+    # the write backwards over valid rows
+    rows_pad = max(
+        n_chunks * chunk, scene.num_texels + int(cfg.texels_per_chunk)
+    )
 
     if aa is not None:
         ids_dev = _form_factors_device(scene, aa, cfg, rows_pad, use_aa=True)
