@@ -199,6 +199,39 @@ def _write_ids(ids, chunk_ids, start):
     return jax.lax.dynamic_update_slice(ids, chunk_ids, (start, 0))
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("rays", "group_counts")
+)
+def _form_factors_aa_all(
+    ids, aa_fields, centers_all, normals, starts, wis, cis, seed,
+    rays: int, group_counts,
+):
+    """Whole AA form-factor pass as ONE program: fori over texel chunks,
+    sampling + nearest-hit + table write all on device. One dispatch instead
+    of two per chunk (each dispatch pays interconnect latency here)."""
+    from ..ops.aa_query import MISS, aa_nearest
+
+    key = jax.random.PRNGKey(seed)
+    chunk = centers_all.shape[1]
+    TB = 8 * 128
+    R = chunk * rays
+    pad = (-R) % TB
+
+    def body(c, ids):
+        k = jax.random.fold_in(jax.random.fold_in(key, wis[c]), cis[c])
+        src, direc = _ff_rays(centers_all[c], normals[c], k, rays)
+        if pad:
+            src = jnp.pad(src, ((0, pad), (0, 0)))
+            direc = jnp.pad(direc, ((0, pad), (0, 0)), constant_values=1.0)
+        dist, tex = aa_nearest(aa_fields, src, direc, group_counts)
+        chunk_ids = jnp.where(dist < MISS * 0.5, tex, -1)[:R].reshape(
+            chunk, rays
+        )
+        return jax.lax.dynamic_update_slice(ids, chunk_ids, (starts[c], 0))
+
+    return jax.lax.fori_loop(0, len(starts), body, ids)
+
+
 def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
                          rows_pad: int, use_aa: bool) -> jnp.ndarray:
     """Source-texel-id table as a DEVICE-resident [rows_pad, rays] int32.
@@ -210,43 +243,44 @@ def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
     rays = int(cfg.rays_per_texel)
     chunk = int(cfg.texels_per_chunk)
     ids = jnp.full((rows_pad, rays), -1, jnp.int32)
-    key = jax.random.PRNGKey(cfg.seed)
-    TB = 8 * 128
+
+    # host-side chunk schedule (padded rows of a chunk land in the wall's
+    # mipmap slots or the next wall's rows; later writes overwrite the
+    # latter, and the caller masks non-level-0 rows back to -1)
+    centers_all, normals, starts, wis, cis = [], [], [], [], []
     for wi, wall in enumerate(scene.walls):
         centers = tile_centers(wall)
         T = num_tiles(wall)
-        normal = jnp.asarray(wall.n)
         for ci, s in enumerate(range(0, T, chunk)):
             c = centers[s : s + chunk]
-            n_real = len(c)
-            if n_real < chunk:
-                c = np.concatenate([c, np.zeros((chunk - n_real, 3), f32)])
-            k = jax.random.fold_in(jax.random.fold_in(key, wi), ci)
-            if use_aa:
-                from ..ops.aa_query import MISS, aa_nearest
+            if len(c) < chunk:
+                c = np.concatenate([c, np.zeros((chunk - len(c), 3), f32)])
+            centers_all.append(c)
+            normals.append(np.asarray(wall.n, f32))
+            starts.append(wall.base + s)
+            wis.append(wi)
+            cis.append(ci)
+    centers_all = jnp.asarray(np.stack(centers_all))
+    normals = jnp.asarray(np.stack(normals))
+    starts = jnp.asarray(np.asarray(starts, np.int32))
+    wis = jnp.asarray(np.asarray(wis, np.int32))
+    cis = jnp.asarray(np.asarray(cis, np.int32))
 
-                src_r, direc = _ff_rays(jnp.asarray(c), normal, k, rays)
-                R = src_r.shape[0]
-                pad = (-R) % TB
-                if pad:
-                    src_r = jnp.pad(src_r, ((0, pad), (0, 0)))
-                    direc = jnp.pad(
-                        direc, ((0, pad), (0, 0)), constant_values=1.0
-                    )
-                dist, tex = aa_nearest(
-                    rects_or_aa.fields, src_r, direc, rects_or_aa.group_counts
-                )
-                chunk_ids = jnp.where(dist < MISS * 0.5, tex, -1)[:R].reshape(
-                    chunk, rays
-                )
-            else:
-                chunk_ids = _form_factor_chunk(
-                    rects_or_aa, jnp.asarray(c), normal, k, rays
-                )
-            # padded rows of the last chunk land in this wall's mipmap slots
-            # (or the next wall's rows, which a later write overwrites); the
-            # caller masks non-level-0 rows back to -1 afterwards.
-            ids = _write_ids(ids, chunk_ids, wall.base + s)
+    if use_aa:
+        return _form_factors_aa_all(
+            ids, rects_or_aa.fields, centers_all, normals, starts, wis, cis,
+            int(cfg.seed), rays, tuple(rects_or_aa.group_counts),
+        )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    for i in range(len(cis)):
+        k = jax.random.fold_in(
+            jax.random.fold_in(key, int(wis[i])), int(cis[i])
+        )
+        chunk_ids = _form_factor_chunk(
+            rects_or_aa, centers_all[i], normals[i], k, rays
+        )
+        ids = _write_ids(ids, chunk_ids, int(starts[i]))
     return ids
 
 

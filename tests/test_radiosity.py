@@ -118,3 +118,30 @@ def test_form_factors_aa_matches_xla(mini):
     assert ids_aa.shape == ids_xla.shape
     match = (ids_aa == ids_xla).mean()
     assert match > 0.995, f"only {match:.4%} ids agree"
+
+
+def test_form_factors_device_batch_matches_np(mini):
+    """Single-program AA form-factor pass vs the per-chunk NumPy-table
+    version (interpret mode, identical keys)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    small = dataclasses.replace(
+        CFG, rays_per_texel=32, texels_per_chunk=128
+    )
+    rects, total, _, _ = radiosity.extended_rects(mini)
+    aa = pack_aa(rects)
+    with pltpu.force_tpu_interpret_mode():
+        ids_np = radiosity.form_factors_aa(mini, aa, small)
+        rows_pad = mini.num_texels + small.texels_per_chunk
+        ids_dev = np.asarray(
+            radiosity._form_factors_device(
+                mini, aa, small, rows_pad, use_aa=True
+            )
+        )
+    level0 = mini.level0_mask()
+    np.testing.assert_array_equal(
+        ids_dev[: mini.num_texels][level0], ids_np[level0]
+    )
