@@ -51,7 +51,8 @@ _MISS = 1e30
 LANES = 128
 
 
-def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
+def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
+                 unroll: int = 1):
     D = cfg.max_depth
     TB = S * LANES
     eps = np.float32(cfg.self_intersect_eps)
@@ -132,10 +133,9 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
                 pv, dv_ = p[av], dr[av]
                 da_neg = dr[a] < 0
 
-                def body(rr_, carry, a=a, pa=pa, ia=ia, pu=pu, du_=du_,
-                         pv=pv, dv_=dv_, da_neg=da_neg, start=starts[a]):
+                def one_rect(j, carry, a=a, pa=pa, ia=ia, pu=pu, du_=du_,
+                             pv=pv, dv_=dv_, da_neg=da_neg):
                     best, btex, baxis, bsign = carry
-                    j = start + rr_
                     o = scene_ref[A_O, j]
                     sn = scene_ref[A_SN, j]
                     fac = (o - pa) * ia
@@ -170,9 +170,23 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
                     bsign = jnp.where(upd, sn, bsign)
                     return best, btex, baxis, bsign
 
-                best, btex, baxis, bsign = jax.lax.fori_loop(
-                    0, count, body, (best, btex, baxis, bsign)
+                # unrolled main loop + static tail; in-order updates keep
+                # the first-min tie break identical to a rect-at-a-time loop
+                n_main = count // unroll
+                start = starts[a]
+
+                def body(rr_, carry):
+                    j0 = start + rr_ * unroll
+                    for uu in range(unroll):
+                        carry = one_rect(j0 + uu, carry)
+                    return carry
+
+                carry = jax.lax.fori_loop(
+                    0, n_main, body, (best, btex, baxis, bsign)
                 )
+                for j in range(start + n_main * unroll, start + count):
+                    carry = one_rect(j, carry)
+                best, btex, baxis, bsign = carry
 
             hitmask = best < (_MISS * 0.5)
             alive = alive * hitmask.astype(jnp.float32)
@@ -234,7 +248,7 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "group_counts", "sublanes")
+    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll")
 )
 def trace_deposits_wide(
     aa_fields: jnp.ndarray,
@@ -244,6 +258,7 @@ def trace_deposits_wide(
     cfg: PhotonConfig,
     group_counts,
     sublanes: int = 8,
+    unroll: int = 4,
 ):
     """Returns (texel ids [B*D] int32, colors [B*D, 3] f32) for one batch.
 
@@ -263,7 +278,7 @@ def trace_deposits_wide(
         .transpose(0, 3, 1, 2)
         .reshape(n_blocks * U * S, LANES)
     )
-    kernel = _make_kernel(cfg, S, tuple(group_counts), U)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     N = aa_fields.shape[1]
     idx, col = pl.pallas_call(
