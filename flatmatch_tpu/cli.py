@@ -39,6 +39,13 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         default=DEFAULT_CONFIG.photon.photons_per_batch,
     )
     p.add_argument(
+        "--device-rng",
+        action="store_true",
+        default=DEFAULT_CONFIG.photon.device_rng,
+        help="wide Pallas engine: generate uniforms with the TPU hardware "
+        "PRNG in-kernel (photonmap.cl:21-25 analog; fastest)",
+    )
+    p.add_argument(
         "--splat",
         choices=["fused", "bucket", "bucket_exact", "scatter"],
         default=DEFAULT_CONFIG.photon.splat,
@@ -62,6 +69,25 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         help="AO texels per device dispatch",
     )
     p.add_argument("--out", default=".", help="output directory")
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="PATH",
+        help="checkpoint file for the photon engines; an interrupted render "
+        "resumes bit-identically (utils/checkpoint.py)",
+    )
+    p.add_argument(
+        "--single-device",
+        action="store_true",
+        help="disable the multi-device sharded engines even when more than "
+        "one device is visible",
+    )
+    # multi-host launch (same command on every host); with none of these
+    # set, cluster auto-detection applies (parallel/multihost.py)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _build_cfg(args):
@@ -73,6 +99,7 @@ def _build_cfg(args):
             seed=args.seed,
             photons_per_batch=args.photons_per_batch,
             splat=args.splat,
+            device_rng=args.device_rng,
         ),
         radiosity=dataclasses.replace(
             cfg.radiosity,
@@ -108,14 +135,26 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = _build_cfg(args)
 
+    # must precede every other jax call (multihost.py NOTE)
+    from .parallel import multihost
+
+    multihost.initialize(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
+    mesh = None if args.single_device else "auto"
+
     if args.cmd == "render":
         from .render import render
 
-        render(args.layout, args.out, args.scale, cfg)
+        render(args.layout, args.out, args.scale, cfg, mesh=mesh,
+               checkpoint_path=args.checkpoint)
         return 0
     if args.cmd == "package":
         from .io.rest import package_offer
@@ -130,6 +169,8 @@ def main(argv=None) -> int:
             args.level,
             args.out,
             cfg,
+            mesh=mesh,
+            checkpoint_path=args.checkpoint,
         )
         return 0
     return 1

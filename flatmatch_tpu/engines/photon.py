@@ -197,44 +197,35 @@ def render_photons(
     emitters: EmittersDev,
     num_texels: int,
     cfg: PhotonConfig,
+    checkpoint_path: str = None,
+    every_batches: int = 64,
 ) -> jnp.ndarray:
     """Full photon pass: every window, then every light
     (global_illumination_cl.c:304-308). Returns the raw (un-normalized)
-    [num_texels, 3] radiance arena."""
-    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
+    [num_texels, 3] radiance arena. With `checkpoint_path`, periodic host
+    checkpoints make an interrupted render resume bit-identically
+    (engines/schedule.py)."""
+    from .schedule import run_schedule
+
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)
-    counts = np.asarray(emitters.counts)
-    base_batch = 0
-    for e in range(len(counts)):
-        n = int(counts[e])
-        if n == 0:
-            continue
-        n_batches = (n + B - 1) // B
-        last_valid = n - (n_batches - 1) * B
-        em = EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
+
+    def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
+        return _trace_emitter(
+            lm, rects, em, key, base_batch, off, seg, n_batches,
+            last_valid, cfg, B,
         )
-        lightmap = _trace_emitter(
-            lightmap,
-            rects,
-            em,
-            key,
-            jnp.int32(base_batch),
-            jnp.int32(0),
-            jnp.int32(n_batches),
-            jnp.int32(n_batches),
-            jnp.int32(last_valid),
-            cfg,
-            B,
-        )
-        base_batch += n_batches
-    return lightmap
+
+    return run_schedule(
+        trace_seg,
+        emitters,
+        num_texels,
+        cfg,
+        B,
+        checkpoint_path=checkpoint_path,
+        every_batches=every_batches,
+        fingerprint_extra=("xla",),
+    )
 
 
 def render_photons_checkpointed(
@@ -245,69 +236,7 @@ def render_photons_checkpointed(
     checkpoint_path: str,
     every_batches: int = 64,
 ) -> jnp.ndarray:
-    """render_photons with periodic host checkpoints and resume.
-
-    Because the RNG is counter-based (fold_in of the global batch index),
-    a resumed run traces the exact photons the uninterrupted run would
-    have — results are bit-identical (gated in tests).
-    """
-    from ..utils import checkpoint as ckpt
-    from ..utils.progress import info
-
-    counts = np.asarray(emitters.counts)
-    fp = ckpt.config_fingerprint(cfg, num_texels, counts)
-    state = ckpt.load(checkpoint_path, fp)
-    if state is None:
-        lightmap = jnp.zeros((num_texels, 3), jnp.float32)
-        resume_e, resume_b = 0, 0
-    else:
-        arr, resume_e, resume_b = state
-        lightmap = jnp.asarray(arr)
-        info(
-            f"resuming from {checkpoint_path}: emitter {resume_e}, "
-            f"batch {resume_b}"
-        )
-
-    key = jax.random.PRNGKey(cfg.seed)
-    B = int(cfg.photons_per_batch)
-    base_batch = 0
-    for e in range(len(counts)):
-        n = int(counts[e])
-        if n == 0:
-            continue
-        n_batches = (n + B - 1) // B
-        last_valid = n - (n_batches - 1) * B
-        if e < resume_e:
-            base_batch += n_batches
-            continue
-        em = EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
-        )
-        start = resume_b if e == resume_e else 0
-        for off in range(start, n_batches, every_batches):
-            seg = min(every_batches, n_batches - off)
-            lightmap = _trace_emitter(
-                lightmap,
-                rects,
-                em,
-                key,
-                jnp.int32(base_batch),
-                jnp.int32(off),
-                jnp.int32(seg),
-                jnp.int32(n_batches),
-                jnp.int32(last_valid),
-                cfg,
-                B,
-            )
-            nxt = off + seg
-            if nxt < n_batches:
-                ckpt.save(checkpoint_path, np.asarray(lightmap), e, nxt, fp)
-            else:
-                ckpt.save(checkpoint_path, np.asarray(lightmap), e + 1, 0, fp)
-        base_batch += n_batches
-    return lightmap
+    """Back-compat alias: render_photons with a required checkpoint path."""
+    return render_photons(
+        rects, emitters, num_texels, cfg, checkpoint_path, every_batches
+    )

@@ -1,0 +1,117 @@
+"""Shared per-emitter photon dispatch schedule.
+
+Every photon engine (XLA, wide Pallas, and their sharded variants) runs the
+same outer schedule as the reference dispatch loop — every window emitter,
+then every lamp (/root/reference/global_illumination_cl.c:304-308), each
+with numSamples = samplesPerArea * area photons streamed in fixed-shape
+batches. This module owns that loop once, including optional checkpoint /
+resume: because the RNG is counter-based (threefry fold_in of the global
+batch index), a resumed run traces exactly the photons the uninterrupted
+run would have — bit-identical results (gated in tests/test_checkpoint.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import PhotonConfig
+from ..ops.device_scene import EmittersDev
+from .photon import EmitterSlice
+
+# trace_seg(lightmap, em, base_batch, batch_offset, seg_len,
+#           emitter_n_batches, last_batch_valid) -> lightmap
+TraceSeg = Callable
+
+
+def emitter_slice(emitters: EmittersDev, e: int) -> EmitterSlice:
+    return EmitterSlice(
+        pos=emitters.pos[e],
+        wvec=emitters.wvec[e],
+        hvec=emitters.hvec[e],
+        n=emitters.n[e],
+        color=emitters.color[e],
+        is_window=emitters.is_window[e],
+    )
+
+
+def run_schedule(
+    trace_seg: TraceSeg,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    batch_size: int,
+    checkpoint_path: Optional[str] = None,
+    every_batches: int = 64,
+    fingerprint_extra=(),
+    write_checkpoints: bool = True,
+):
+    """Run the full emitter schedule, optionally checkpointed.
+
+    `fingerprint_extra` distinguishes engines / mesh shapes whose RNG
+    schedules differ (a wide-engine checkpoint must never resume an XLA
+    render, nor an 8-device one a 4-device run). `write_checkpoints` is
+    False on non-primary hosts: all hosts resume from the (shared-
+    filesystem) checkpoint, only the primary writes it.
+    Returns the raw (un-normalized) [num_texels, 3] lightmap.
+    """
+    import jax.numpy as jnp
+
+    from ..utils import checkpoint as ckpt
+    from ..utils.progress import info
+
+    counts = np.asarray(emitters.counts)
+    B = int(batch_size)
+
+    resume_e, resume_b = 0, 0
+    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
+    fp = None
+    if checkpoint_path is not None:
+        fp = ckpt.config_fingerprint(
+            cfg, num_texels, counts,
+            extra=tuple(fingerprint_extra) + (B, every_batches),
+        )
+        state = ckpt.load(checkpoint_path, fp)
+        if state is not None:
+            arr, resume_e, resume_b = state
+            lightmap = jnp.asarray(arr)
+            info(
+                f"resuming from {checkpoint_path}: emitter {resume_e}, "
+                f"batch {resume_b}"
+            )
+
+    base_batch = 0
+    for e in range(len(counts)):
+        n = int(counts[e])
+        if n == 0:
+            continue
+        n_batches = (n + B - 1) // B
+        last_valid = n - (n_batches - 1) * B
+        if e < resume_e:
+            base_batch += n_batches
+            continue
+        em = emitter_slice(emitters, e)
+        start = resume_b if e == resume_e else 0
+        # ALWAYS segment by every_batches, checkpointing or not: the sharded
+        # engines psum once per segment, so identical segmentation is what
+        # makes a checkpointed/resumed run bit-identical to a straight one
+        step = every_batches
+        for off in range(start, n_batches, max(step, 1)):
+            seg = min(step, n_batches - off)
+            lightmap = trace_seg(
+                lightmap,
+                em,
+                jnp.int32(base_batch),
+                jnp.int32(off),
+                jnp.int32(seg),
+                jnp.int32(n_batches),
+                jnp.int32(last_valid),
+            )
+            if checkpoint_path is not None and write_checkpoints:
+                nxt = off + seg
+                cursor = (e, nxt) if nxt < n_batches else (e + 1, 0)
+                ckpt.save(
+                    checkpoint_path, np.asarray(lightmap), *cursor, fp
+                )
+        base_batch += n_batches
+    return lightmap

@@ -28,8 +28,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = jax.shard_map
 
 from ..config import PhotonConfig
+from ..ops.aa_scene import AARectsDev
 from ..ops.device_scene import EmittersDev, RectsDev
 from ..engines.photon import EmitterSlice, trace_batch, uniforms_per_photon
+
+LANES = 128
 
 
 def photon_mesh(devices=None) -> Mesh:
@@ -47,13 +50,16 @@ def _trace_emitter_sharded(
     em: EmitterSlice,
     key,
     base_batch,
-    n_batches,
+    batch_offset,
+    seg_len,
+    emitter_n_batches,
     last_batch_valid,
     cfg: PhotonConfig,
     batch_size: int,
     mesh: Mesh,
 ):
-    """One emitter's photon budget, sharded over the `photons` mesh axis.
+    """Batches [batch_offset, batch_offset+seg_len) of one emitter's photon
+    budget, sharded over the `photons` mesh axis.
 
     `batch_size` is the GLOBAL batch; each chip traces batch_size/n_dev.
     """
@@ -75,11 +81,14 @@ def _trace_emitter_sharded(
         ax = jax.lax.axis_index("photons")
 
         def body(i, lm):
-            k = jax.random.fold_in(key, base_batch + i)
+            abs_i = batch_offset + i
+            k = jax.random.fold_in(key, base_batch + abs_i)
             k = jax.random.fold_in(k, ax)
             uniforms = jax.random.uniform(k, (b_local, U), dtype=jnp.float32)
             n_valid_global = jnp.where(
-                i == n_batches - 1, last_batch_valid, jnp.int32(batch_size)
+                abs_i == emitter_n_batches - 1,
+                last_batch_valid,
+                jnp.int32(batch_size),
             )
             # photons [ax*b_local, (ax+1)*b_local) of the global batch
             n_valid_local = jnp.clip(
@@ -87,12 +96,151 @@ def _trace_emitter_sharded(
             ).astype(jnp.int32)
             return trace_batch(lm, rects, em, uniforms, n_valid_local, cfg)
 
-        delta = jax.lax.fori_loop(0, n_batches, body, jnp.zeros_like(lightmap))
-        # one collective per emitter: deterministic replacement for the
-        # reference's racy shared accumulator (photonmap.cl:256-258)
+        delta = jax.lax.fori_loop(0, seg_len, body, jnp.zeros_like(lightmap))
+        # one collective per emitter segment: deterministic replacement for
+        # the reference's racy shared accumulator (photonmap.cl:256-258)
         return lightmap + jax.lax.psum(delta, "photons")
 
     return shard_fn(lightmap, key)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "group_counts", "sublanes", "mesh"),
+)
+def _trace_emitter_sharded_wide(
+    lightmap,
+    aa_fields,
+    em_vec,
+    key,
+    base_batch,
+    batch_offset,
+    seg_len,
+    emitter_n_batches,
+    last_batch_valid,
+    cfg: PhotonConfig,
+    batch_size: int,
+    group_counts,
+    sublanes: int,
+    mesh: Mesh,
+):
+    """Batches [batch_offset, batch_offset+seg_len) of one emitter's budget
+    on the wide AA Pallas kernel, sharded over the `photons` mesh axis.
+    Same (batch, device) threefry keying as the sharded XLA path, so both
+    sharded engines trace identical photons."""
+    n_dev = mesh.shape["photons"]
+    assert batch_size % n_dev == 0
+    b_local = batch_size // n_dev
+    U = uniforms_per_photon(cfg.max_depth)
+
+    from ..engines.photon_pallas_wide import _splat, trace_deposits_wide
+
+    replicated = P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(replicated,) * 3,
+        out_specs=replicated,
+        check_vma=False,
+    )
+    def shard_fn(lightmap, aa_fields, key):
+        ax = jax.lax.axis_index("photons")
+
+        def body(i, lm):
+            abs_i = batch_offset + i
+            n_valid_global = jnp.where(
+                abs_i == emitter_n_batches - 1,
+                last_batch_valid,
+                jnp.int32(batch_size),
+            )
+            n_valid_local = jnp.clip(
+                n_valid_global - ax * b_local, 0, b_local
+            ).astype(jnp.int32)
+            if cfg.device_rng:
+                from ..engines.photon_pallas_wide import (
+                    batch_seed, trace_deposits_wide_rng,
+                )
+
+                seed = batch_seed(cfg.seed, base_batch + abs_i) + (
+                    ax * jnp.int32(-1640531527)  # golden-ratio decorrelation
+                )
+                idx, col = trace_deposits_wide_rng(
+                    aa_fields, em_vec, seed, n_valid_local, cfg,
+                    group_counts, b_local, sublanes,
+                )
+            else:
+                k = jax.random.fold_in(key, base_batch + abs_i)
+                k = jax.random.fold_in(k, ax)
+                uniforms = jax.random.uniform(
+                    k, (b_local, U), dtype=jnp.float32
+                )
+                idx, col = trace_deposits_wide(
+                    aa_fields, em_vec, uniforms, n_valid_local, cfg,
+                    group_counts, sublanes,
+                )
+            return _splat(lm, idx, col, cfg)
+
+        delta = jax.lax.fori_loop(0, seg_len, body, jnp.zeros_like(lightmap))
+        return lightmap + jax.lax.psum(delta, "photons")
+
+    return shard_fn(lightmap, aa_fields, key)
+
+
+def render_photons_sharded_wide(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    aa: AARectsDev,
+    mesh: Mesh = None,
+    sublanes: int = None,
+    checkpoint_path: str = None,
+    every_batches: int = 64,
+) -> jnp.ndarray:
+    """Full photon pass on the wide AA engine, sharded over all devices.
+
+    The production multi-chip path: the per-emitter dispatch schedule of the
+    reference (global_illumination_cl.c:304-308) with each global batch split
+    across the mesh and psum-reduced per emitter. Checkpoints (shared
+    filesystem required multi-host: all hosts load, the primary writes) are
+    fingerprinted with the device count — a resumed run must use the same
+    mesh shape, since draws are keyed per (batch, device)."""
+    from ..engines.photon_pallas import emitter_vector
+    from ..engines.schedule import run_schedule
+    from . import multihost
+
+    mesh = mesh or photon_mesh()
+    n_dev = mesh.shape["photons"]
+    B = int(cfg.photons_per_batch)
+    quantum = n_dev * LANES
+    if B % quantum:
+        B = ((B + quantum - 1) // quantum) * quantum
+    b_local = B // n_dev
+    if sublanes is None:
+        sublanes = 64
+    while sublanes > 1 and b_local % (sublanes * LANES):
+        sublanes //= 2
+
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
+        return _trace_emitter_sharded_wide(
+            lm, aa.fields, emitter_vector(em), key, base_batch, off, seg,
+            n_batches, last_valid, cfg, B, aa.group_counts, sublanes, mesh,
+        )
+
+    return run_schedule(
+        trace_seg,
+        emitters,
+        num_texels,
+        cfg,
+        B,
+        checkpoint_path=checkpoint_path,
+        every_batches=every_batches,
+        fingerprint_extra=("wide-sharded", n_dev),
+        write_checkpoints=multihost.is_primary(),
+    )
 
 
 def render_photons_sharded(
@@ -101,43 +249,35 @@ def render_photons_sharded(
     num_texels: int,
     cfg: PhotonConfig,
     mesh: Mesh = None,
+    checkpoint_path: str = None,
+    every_batches: int = 64,
 ) -> jnp.ndarray:
     """Full photon pass sharded over all devices (windows then lights,
     global_illumination_cl.c:304-308)."""
+    from ..engines.schedule import run_schedule
+    from . import multihost
+
     mesh = mesh or photon_mesh()
-    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)
     n_dev = mesh.shape["photons"]
     if B % n_dev:
         B = ((B + n_dev - 1) // n_dev) * n_dev
-    counts = np.asarray(emitters.counts)
-    base_batch = 0
-    for e in range(len(counts)):
-        n = int(counts[e])
-        if n == 0:
-            continue
-        n_batches = (n + B - 1) // B
-        last_valid = n - (n_batches - 1) * B
-        em = EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
+
+    def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
+        return _trace_emitter_sharded(
+            lm, rects, em, key, base_batch, off, seg, n_batches,
+            last_valid, cfg, B, mesh,
         )
-        lightmap = _trace_emitter_sharded(
-            lightmap,
-            rects,
-            em,
-            key,
-            jnp.int32(base_batch),
-            jnp.int32(n_batches),
-            jnp.int32(last_valid),
-            cfg,
-            B,
-            mesh,
-        )
-        base_batch += n_batches
-    return lightmap
+
+    return run_schedule(
+        trace_seg,
+        emitters,
+        num_texels,
+        cfg,
+        B,
+        checkpoint_path=checkpoint_path,
+        every_batches=every_batches,
+        fingerprint_extra=("xla-sharded", n_dev),
+        write_checkpoints=multihost.is_primary(),
+    )

@@ -22,6 +22,7 @@ explicitly:
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -31,20 +32,53 @@ from ..utils.progress import info
 
 _initialized = False
 
+# Env vars whose presence means "this process is part of a configured
+# multi-host cluster" — jax.distributed auto-detection will use them.
+_CLUSTER_ENV = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "CLOUD_TPU_TASK_ID",
+)
+
+
+def cluster_configured() -> bool:
+    """True when the environment declares a MULTI-host cluster.
+
+    A single-entry TPU_WORKER_HOSTNAMES (every single TPU-VM sets it) is
+    not a cluster."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    return any(
+        os.environ.get(k)
+        for k in _CLUSTER_ENV
+        if k != "TPU_WORKER_HOSTNAMES"
+    )
+
 
 def initialize(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Idempotent jax.distributed.initialize with auto-detection.
+    """Idempotent jax.distributed.initialize.
 
-    With no arguments, relies on the TPU runtime's cluster auto-detection
-    (GCE metadata / megascale env); explicit arguments cover bare-metal
-    deployments.
+    With no arguments: initializes only when the environment declares a
+    cluster (TPU pod metadata / coordinator env vars) and otherwise runs
+    single-host — the common case. With explicit arguments, or with a
+    cluster environment present, a failed init is FATAL: a configured
+    distributed job must never silently degrade to a single-host render
+    with every host writing artifacts (the reference's analog is its
+    fail-fast exit(0) on OpenCL errors, global_illumination_cl.c:227-242).
     """
     global _initialized
     if _initialized:
+        return
+    explicit = coordinator is not None or num_processes is not None
+    if not explicit and not cluster_configured():
+        _initialized = True
         return
     kwargs = {}
     if coordinator is not None:
@@ -57,15 +91,30 @@ def initialize(
     # initializes the XLA backend and would make this raise.
     try:
         jax.distributed.initialize(**kwargs)
-        _initialized = True
-        info(
-            f"distributed runtime up: process {jax.process_index()}/"
-            f"{jax.process_count()}, {jax.device_count()} global devices"
-        )
     except RuntimeError as e:
-        # already initialized (e.g. auto-init by the runtime) or single-host
-        _initialized = True
-        info(f"distributed init skipped ({e})")
+        msg = str(e).lower()
+        if "already initialized" in msg:
+            # auto-init by the runtime (or a second initialize() call path)
+            _initialized = True
+            info(f"distributed runtime already up ({e})")
+            return
+        if not explicit and "before any jax calls" in msg:
+            # env-triggered auto-init attempted after JAX was already up
+            # (e.g. library use inside a larger program): stay single-host
+            from ..utils.progress import warn
+
+            _initialized = True
+            warn(f"distributed auto-init skipped: {e}")
+            return
+        raise RuntimeError(
+            "jax.distributed.initialize failed for a configured cluster "
+            f"(coordinator={coordinator!r}): {e}"
+        ) from e
+    _initialized = True
+    info(
+        f"distributed runtime up: process {jax.process_index()}/"
+        f"{jax.process_count()}, {jax.device_count()} global devices"
+    )
 
 
 def is_primary() -> bool:

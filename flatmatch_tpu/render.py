@@ -40,9 +40,34 @@ def compile_scene(layout_png: str, scale: float, cfg: RenderConfig):
     return geometry.Scene(lay), collision_json
 
 
-def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
+def _auto_mesh():
+    """The production photon mesh: all global devices, or None single-chip.
+
+    In the reference the device dispatch IS the pipeline
+    (main.c:63 -> global_illumination_cl.c:275-313); here the pipeline
+    auto-selects the sharded engines whenever more than one device is
+    visible, so a pod-slice launch scales without any code change."""
+    import jax
+
+    if jax.device_count() > 1:
+        from .parallel.mesh import photon_mesh
+
+        return photon_mesh()
+    return None
+
+
+def run_engine(
+    scene: geometry.Scene, cfg: RenderConfig, mesh="auto",
+    checkpoint_path: Optional[str] = None,
+) -> np.ndarray:
     """Dispatch the configured illumination engine (main.c:60-66) and apply
-    photon exposure normalization where the reference does (main.c:68-79)."""
+    photon exposure normalization where the reference does (main.c:68-79).
+
+    `mesh`: "auto" shards the photon engines over all visible devices when
+    there is more than one; None forces single-device; an explicit
+    jax.sharding.Mesh pins the device set."""
+    if mesh == "auto":
+        mesh = _auto_mesh()
     if cfg.engine in (Engine.PHOTON_XLA, Engine.PHOTON_PALLAS):
         from .engines import photon
 
@@ -72,25 +97,51 @@ def run_engine(scene: geometry.Scene, cfg: RenderConfig) -> np.ndarray:
                 "XLA engine"
             )
             use_pallas = False
+        aa = None
         if use_pallas:
             from .ops.aa_scene import pack_aa
 
             aa = pack_aa(scene.walls)
-            if aa is not None:
-                from .engines import photon_pallas_wide
+            if aa is None:
+                from .utils.progress import warn
 
-                lightmap = photon_pallas_wide.render_photons(
-                    rects, emitters, scene.num_texels, cfg.photon, aa
+                warn("scene has non-axis-aligned rects; wide AA engine "
+                     "unavailable")
+        if mesh is not None:
+            from .parallel import mesh as pmesh
+            from .utils.progress import info
+
+            if use_pallas and aa is not None:
+                info(f"sharded wide-Pallas photon engine over "
+                     f"{mesh.shape['photons']} devices")
+                lightmap = pmesh.render_photons_sharded_wide(
+                    rects, emitters, scene.num_texels, cfg.photon, aa, mesh,
+                    checkpoint_path=checkpoint_path,
                 )
             else:
-                from .engines import photon_pallas
-
-                lightmap = photon_pallas.render_photons(
-                    rects, emitters, scene.num_texels, cfg.photon
+                info(f"sharded XLA photon engine over "
+                     f"{mesh.shape['photons']} devices")
+                lightmap = pmesh.render_photons_sharded(
+                    rects, emitters, scene.num_texels, cfg.photon, mesh,
+                    checkpoint_path=checkpoint_path,
                 )
+        elif use_pallas and aa is not None:
+            from .engines import photon_pallas_wide
+
+            lightmap = photon_pallas_wide.render_photons(
+                rects, emitters, scene.num_texels, cfg.photon, aa,
+                checkpoint_path=checkpoint_path,
+            )
+        elif use_pallas:
+            from .engines import photon_pallas
+
+            lightmap = photon_pallas.render_photons(
+                rects, emitters, scene.num_texels, cfg.photon
+            )
         else:
             lightmap = photon.render_photons(
-                rects, emitters, scene.num_texels, cfg.photon
+                rects, emitters, scene.num_texels, cfg.photon,
+                checkpoint_path=checkpoint_path,
             )
         scale = exposure_scale(
             scene, cfg.photon.samples_per_area, cfg.photon.exposure
@@ -129,26 +180,37 @@ def render(
     out_dir: str = ".",
     scale: float = 30.0,
     cfg: Optional[RenderConfig] = None,
+    mesh="auto",
+    checkpoint_path: Optional[str] = None,
 ) -> RenderResult:
-    """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`."""
+    """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`.
+
+    Multi-host aware: every process compiles the scene and participates in
+    the (sharded) engine collectives, but only the primary process writes
+    artifacts (collision/geometry JSON, tiles)."""
+    from .parallel import multihost
+
     cfg = cfg or DEFAULT_CONFIG
+    primary = multihost.is_primary()
     out = pathlib.Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
+    if primary:
+        out.mkdir(parents=True, exist_ok=True)
 
     scene, collision_json = compile_scene(layout_png, scale, cfg)
-    (out / "collisionMap.json").write_text(collision_json)
-
     geo_json = geometry.geometry_json(scene)
-    (out / "geometry.json").write_text(geo_json)
+    if primary:
+        (out / "collisionMap.json").write_text(collision_json)
+        (out / "geometry.json").write_text(geo_json)
 
     lay = scene.layout
-    print(
-        f"[INF] Layout consists of {len(lay.walls)} walls "
-        f"({scene.num_texels / 1000.0:.2f}k texels) "
-        f"{len(lay.windows)} windows, {len(lay.lights)} lights"
-    )
+    if primary:
+        print(
+            f"[INF] Layout consists of {len(lay.walls)} walls "
+            f"({scene.num_texels / 1000.0:.2f}k texels) "
+            f"{len(lay.windows)} windows, {len(lay.lights)} lights"
+        )
 
-    texels = run_engine(scene, cfg)
+    texels = run_engine(scene, cfg, mesh, checkpoint_path)
 
     # tintExtra for every mode except the CL-equivalent photon paths
     # (main.c:88-91)
@@ -157,9 +219,11 @@ def render(
         Engine.PHOTON_ORACLE,
         Engine.RADIOSITY,
     )
-    tile_paths = tiles_io.save_tiles(
-        scene.walls, texels, str(out / "tiles"), tint_extra
-    )
+    tile_paths = []
+    if primary:
+        tile_paths = tiles_io.save_tiles(
+            scene.walls, texels, str(out / "tiles"), tint_extra
+        )
     return RenderResult(
         scene=scene,
         texels=texels,

@@ -27,12 +27,18 @@ import numpy as np
 from ..config import PhotonConfig
 
 
-def config_fingerprint(cfg: PhotonConfig, num_texels: int, counts) -> str:
+def config_fingerprint(
+    cfg: PhotonConfig, num_texels: int, counts, extra=()
+) -> str:
+    """`extra` captures anything else the RNG schedule depends on: engine
+    name, device count (a sharded run keys draws per (batch, device)),
+    batch size."""
     payload = json.dumps(
         {
             "cfg": dataclasses.asdict(cfg),
             "num_texels": int(num_texels),
             "counts": [int(c) for c in np.asarray(counts)],
+            "extra": [str(x) for x in extra],
         },
         sort_keys=True,
     )

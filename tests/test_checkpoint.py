@@ -45,7 +45,12 @@ def test_resume_mid_run_is_bit_identical(mini, tmp_path):
     scene, rects, emitters = mini
     path = str(tmp_path / "ck.npz")
     counts = np.asarray(emitters.counts)
-    fp = ckpt.config_fingerprint(CFG, scene.num_texels, counts)
+    # the engine fingerprints with (engine-name, batch-size) extras
+    # (engines/schedule.py) so checkpoints can't cross engines/batchings
+    fp = ckpt.config_fingerprint(
+        CFG, scene.num_texels, counts,
+        extra=("xla", CFG.photons_per_batch, 2),
+    )
 
     # full checkpointed run (reference result), saving every segment
     full = np.asarray(
@@ -89,6 +94,62 @@ def test_resume_mid_run_is_bit_identical(mini, tmp_path):
         )
     )
     np.testing.assert_array_equal(full, resumed)
+
+
+def test_wide_engine_kill_resume_bit_identical(mini, tmp_path, monkeypatch):
+    """VERDICT r1 #5: the production (wide Pallas) engine checkpoints too.
+    Simulate a kill mid-render (after the first checkpoint write) and
+    resume; the result must be bit-identical to an uninterrupted run."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import photon_pallas_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters = mini
+    aa = pack_aa(scene.walls)
+    assert aa is not None
+    cfg = dataclasses.replace(
+        CFG, samples_per_area=4000.0, splat="scatter"
+    )
+    emitters_small = pack_emitters(
+        scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        straight = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, emitters_small, scene.num_texels, cfg, aa,
+                every_batches=1,
+            )
+        )
+
+        path = str(tmp_path / "wide.npz")
+        calls = {"n": 0}
+        orig_save = ckpt.save
+
+        def save_then_die(*a, **k):
+            orig_save(*a, **k)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt("simulated kill")
+
+        monkeypatch.setattr(ckpt, "save", save_then_die)
+        with pytest.raises(KeyboardInterrupt):
+            photon_pallas_wide.render_photons(
+                rects, emitters_small, scene.num_texels, cfg, aa,
+                checkpoint_path=path, every_batches=1,
+            )
+        monkeypatch.setattr(ckpt, "save", orig_save)
+
+        resumed = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, emitters_small, scene.num_texels, cfg, aa,
+                checkpoint_path=path, every_batches=1,
+            )
+        )
+    np.testing.assert_array_equal(straight, resumed)
 
 
 def test_fingerprint_mismatch_refuses(mini, tmp_path):
