@@ -22,6 +22,16 @@ CASES = [
     ("mini", "mini_photon_native_spa200k.f32", 200000.0),
 ]
 
+# the flagship scene: the reference's only shipped input (README.md:27),
+# dumped from the same reference build at samplesPerArea=300000 (4.6M
+# photons, srand(12345)) — the benchmark scene gets the same
+# distribution-level physics gate as the small fixtures (VERDICT r1 #7)
+EXAMPLE_CASE = (
+    "/root/reference/example.png",
+    "example_photon_native_spa300k.f32",
+    300000.0,
+)
+
 
 @pytest.mark.parametrize("name,fixture,spa", CASES)
 def test_wall_energy_matches_reference_engine(name, fixture, spa):
@@ -66,4 +76,44 @@ def test_wall_energy_matches_reference_engine(name, fixture, spa):
     # per-texel correlation: the spatial light distribution must match
     a, b = ours.ravel(), gold.ravel()
     corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98, f"texel correlation {corr}"
+
+
+def test_example_scene_matches_reference_engine():
+    """Lightmap-level physics parity on example.png (the benchmark scene)."""
+    from tests.conftest import FIXTURES
+
+    png, fixture, spa = EXAMPLE_CASE
+    img = im.load_layout(png)
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    gold = np.fromfile(FIXTURES / fixture, dtype="<f4").reshape(
+        scene.num_texels, 4
+    )[:, :3]
+
+    cfg = PhotonConfig(
+        samples_per_area=spa, photons_per_batch=65536, seed=3
+    )
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)
+    ours = np.asarray(
+        photon.render_photons(rects, emitters, scene.num_texels, cfg)
+    )
+
+    np.testing.assert_allclose(ours.sum(), gold.sum(), rtol=0.02)
+
+    checked = 0
+    for i, r in enumerate(scene.walls):
+        sl = slice(r.base, r.base + num_tiles(r))
+        o = ours[sl].mean()
+        g = gold[sl].mean()
+        if g > gold.sum() / scene.num_texels * 0.1:
+            rtol = 0.12 if num_tiles(r) >= 64 else 0.25
+            np.testing.assert_allclose(
+                o, g, rtol=rtol, err_msg=f"example wall {i} mean radiance"
+            )
+            checked += 1
+    assert checked >= 20, f"only {checked} walls carried energy"
+
+    corr = np.corrcoef(ours.ravel(), gold.ravel())[0, 1]
     assert corr > 0.98, f"texel correlation {corr}"

@@ -1,0 +1,61 @@
+"""Cross-implementation physics check: our radiosity engine vs the ACTUAL
+reference C engine (RADIOSITY_NATIVE) on the same scene and ray budget.
+
+Fixtures were dumped from a reference build (same recipe as the photon ones
+in test_physics_vs_reference.py): radiosityNative.c compiled with
+geoSphereNumVectors patched 10000 -> 2000, srand(12345), raw geo->texels
+written after performRadiosityNative (/root/reference/radiosityNative.c:
+92-268). The two implementations use different RNGs (threefry vs libc
+rand), so agreement is distribution-level: total energy, per-wall mean
+radiance, per-texel correlation."""
+import numpy as np
+import pytest
+
+from flatmatch_tpu.config import RadiosityConfig
+from flatmatch_tpu.engines import radiosity
+from flatmatch_tpu.scene import geometry, image as im, layout
+from flatmatch_tpu.scene.rectangle import num_tiles
+
+f32 = np.float32
+
+CASES = [
+    ("tiny", "tiny_radiosity_rays2000.f32"),
+    ("mini", "mini_radiosity_rays2000.f32"),
+]
+
+
+@pytest.mark.parametrize("name,fixture", CASES)
+def test_radiosity_matches_reference_engine(name, fixture):
+    from tests.conftest import FIXTURES
+
+    img = im.load_layout(str(FIXTURES / f"{name}.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    gold = np.fromfile(FIXTURES / fixture, dtype="<f4").reshape(
+        scene.num_texels, 4
+    )[:, :3]
+
+    cfg = RadiosityConfig(rays_per_texel=2000, iterations=7, seed=5)
+    ours = radiosity.render_radiosity(scene, cfg)
+
+    # total radiosity within MC tolerance (2000 rays/texel -> ~2% sigma
+    # per texel, far tighter on aggregates)
+    np.testing.assert_allclose(ours.sum(), gold.sum(), rtol=0.02)
+
+    # per-wall mean radiance (level-0 span covers the visible lightmap)
+    checked = 0
+    for i, r in enumerate(scene.walls):
+        sl = slice(r.base, r.base + num_tiles(r))
+        o = ours[sl].mean()
+        g = gold[sl].mean()
+        if g > 1e-3:
+            rtol = 0.08 if num_tiles(r) >= 64 else 0.2
+            np.testing.assert_allclose(
+                o, g, rtol=rtol, err_msg=f"{name} wall {i} mean radiosity"
+            )
+            checked += 1
+    assert checked >= 5, f"only {checked} walls carried energy"
+
+    # spatial distribution
+    corr = np.corrcoef(ours.ravel(), gold.ravel())[0, 1]
+    assert corr > 0.99, f"texel correlation {corr}"
