@@ -18,18 +18,28 @@ from typing import Optional
 from ..config import RenderConfig
 from ..render import render
 
-# Offer skeleton mirroring offer_template.json: $-placeholders spliced
-# textually so `collisionMap` and `layout` keep the renderer's exact JSON
-# bytes (generate_flatmatch_entry.py:40-51).
+# Offer skeleton: the exact contents of the reference's offer_template.json
+# (a data contract, including its static demo-listing fields), so an
+# assembled `rest/get/offer/<id>` is byte-identical to a reference-generated
+# one. $-placeholders are spliced textually so `collisionMap` and `layout`
+# keep the renderer's exact JSON bytes (generate_flatmatch_entry.py:40-51).
 OFFER_TEMPLATE = """{
     "rowid": $ROW_ID,
+    "landlordOfferId": "9214.025",
+    "landlord": "WOBAU",
     "collisionMap": $COLLISION_MAP,
+    "numRooms": 3,
     "lon": $LONGITUDE,
+    "detailsUrl": "mieten_WhgDetails.asp?ObjID=41971",
+    "area": 67.0,
     "layoutId": $ROW_ID,
     "level": $LEVEL,
     "lat": $LATITUDE,
     "layout": $LAYOUT,
+    "hasBalcony": 1,
+    "rent": 512.82,
     "scale": $SCALE,
+    "address": "Apollostr. 5",
     "yaw": $YAW
 }
 """
@@ -46,14 +56,24 @@ def package_offer(
     out_dir: str = ".",
     cfg: Optional[RenderConfig] = None,
     template: Optional[str] = None,
-) -> pathlib.Path:
-    """Render and assemble the REST tree; returns the `rest/` root path."""
+    mesh="auto",
+    checkpoint_path: Optional[str] = None,
+) -> Optional[pathlib.Path]:
+    """Render and assemble the REST tree; returns the `rest/` root path.
+
+    Multi-host: non-primary processes participate in the render collectives
+    but write nothing and return None."""
+    from ..parallel import multihost
+
     out = pathlib.Path(out_dir)
     tiles_dir = out / "tiles"
-    if tiles_dir.exists():
+    if multihost.is_primary() and tiles_dir.exists():
         shutil.rmtree(tiles_dir)
 
-    result = render(source_image, str(out), scale, cfg)
+    result = render(source_image, str(out), scale, cfg, mesh=mesh,
+                    checkpoint_path=checkpoint_path)
+    if not multihost.is_primary():
+        return None
 
     tpl = template if template is not None else OFFER_TEMPLATE
     tpl = tpl.replace("$COLLISION_MAP", result.collision_json)

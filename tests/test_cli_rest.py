@@ -98,3 +98,73 @@ def test_package_offer(tmp_path):
 
     img = PILImage.open(io.BytesIO(base64.b64decode(textures["0"])))
     assert img.size[0] >= 1 and img.size[1] >= 1
+
+
+def test_rest_tree_byte_parity_with_reference_packager(tmp_path):
+    """Golden test against the ACTUAL reference packager
+    (/root/reference/generate_flatmatch_entry.py): run it over the same
+    renderer artifacts (its `./globalIllumination` subprocess stubbed out)
+    and require the assembled trees to match byte-for-byte — offer and
+    layout exactly, textures as JSON (the reference's os.listdir iteration
+    order is filesystem-dependent)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    cfg = DEFAULT_CONFIG.replace(
+        photon=dataclasses.replace(
+            DEFAULT_CONFIG.photon,
+            samples_per_area=2000.0,
+            photons_per_batch=512,
+        )
+    )
+    ours_dir = tmp_path / "ours"
+    rest = package_offer(
+        str(FIXTURES / "tiny.png"),
+        offer_id=7,
+        scale=30.0,
+        latitude=52.13,
+        longitude=11.62,
+        yaw=0.5,
+        level=2,
+        out_dir=str(ours_dir),
+        cfg=cfg,
+    )
+
+    # reference packager cwd, seeded with the SAME renderer artifacts
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    shutil.copy(FIXTURES / "tiny.png", ref_dir / "tiny.png")
+    shutil.copy("/root/reference/offer_template.json", ref_dir)
+    shutil.copy(ours_dir / "collisionMap.json", ref_dir)
+    shutil.copy(ours_dir / "geometry.json", ref_dir)
+    # the reference script cleans tiles/ then expects its renderer
+    # subprocess to fill it: the stub plays the renderer by copying in the
+    # tiles our pipeline produced
+    shutil.copytree(ours_dir / "tiles", ref_dir / "tiles_src")
+    stub = ref_dir / "globalIllumination"
+    stub.write_text("#!/bin/sh\ncp tiles_src/*.png tiles/\nexit 0\n")
+    stub.chmod(0o755)
+    subprocess.run(
+        [
+            sys.executable,
+            "/root/reference/generate_flatmatch_entry.py",
+            "tiny.png", "7", "30.0", "52.13", "11.62", "0.5", "2",
+        ],
+        cwd=ref_dir,
+        check=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+    want = ref_dir / "rest" / "get"
+    got = rest / "get"
+    assert (got / "offer" / "7").read_bytes() == (
+        want / "offer" / "7"
+    ).read_bytes()
+    assert (got / "layout" / "7").read_bytes() == (
+        want / "layout" / "7"
+    ).read_bytes()
+    assert json.loads((got / "textures" / "7").read_text()) == json.loads(
+        (want / "textures" / "7").read_text()
+    )
