@@ -49,6 +49,54 @@ if not SCENE_PNG.exists():
 TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
 SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
+# gate the secondary engine benches (AO texel-rays/s, radiosity rays/s) —
+# on by default on TPU, skippable for quick photon-only runs
+BENCH_ALL = os.environ.get("FLATMATCH_BENCH_ALL", "1") == "1"
+RADIOSITY_RAYS = int(os.environ.get("FLATMATCH_BENCH_RADIOSITY_RAYS", 1000))
+
+
+def bench_ao(scene, aa):
+    """AO texel-rays/s (photonmap.c:436-491: 481 geoSphere4 dirs/texel)."""
+    from flatmatch_tpu.config import AoConfig
+    from flatmatch_tpu.scene.rectangle import num_tiles
+
+    cfg = AoConfig()
+    if aa is not None and jax.default_backend() == "tpu":
+        from flatmatch_tpu.engines import ao_pallas
+
+        run = lambda: ao_pallas.render_ao(scene, aa, cfg)  # noqa: E731
+    else:
+        from flatmatch_tpu.engines import ao
+
+        run = lambda: ao.render_ao(  # noqa: E731
+            scene, pack_rects(scene.walls), cfg
+        )
+    float(np.asarray(run()).sum())  # warm/compile
+    t0 = time.perf_counter()
+    out = run()
+    energy = float(np.asarray(out).sum())
+    dt = time.perf_counter() - t0
+    assert np.isfinite(energy) and energy > 0
+    rays = sum(num_tiles(r) for r in scene.walls) * 481
+    return rays / dt
+
+
+def bench_radiosity(scene):
+    """Radiosity form-factor+gather rays/s at a reduced ray budget (the
+    physics is budget-linear; production is rays_per_texel=10000,
+    radiosityNative.c:147)."""
+    from flatmatch_tpu.config import RadiosityConfig
+    from flatmatch_tpu.engines import radiosity
+    from flatmatch_tpu.scene.rectangle import num_tiles
+
+    cfg = RadiosityConfig(rays_per_texel=RADIOSITY_RAYS, seed=0)
+    t0 = time.perf_counter()
+    out = radiosity.render_radiosity(scene, cfg)
+    energy = float(np.asarray(out).sum())
+    dt = time.perf_counter() - t0
+    assert np.isfinite(energy) and energy > 0
+    rays = sum(num_tiles(r) for r in scene.walls) * RADIOSITY_RAYS
+    return rays / dt, dt
 
 
 def main():
@@ -100,6 +148,20 @@ def main():
         if ref_rate:
             vs = rate / ref_rate
 
+    extras = {}
+    if BENCH_ALL:
+        try:
+            extras["ao_texel_rays_per_s"] = round(bench_ao(scene, aa), 1)
+        except Exception as e:  # never let a secondary bench kill the line
+            extras["ao_error"] = repr(e)[:200]
+        try:
+            rad_rate, rad_dt = bench_radiosity(scene)
+            extras["radiosity_rays_per_s"] = round(rad_rate, 1)
+            extras["radiosity_s"] = round(rad_dt, 2)
+            extras["radiosity_rays_per_texel"] = RADIOSITY_RAYS
+        except Exception as e:
+            extras["radiosity_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -107,6 +169,7 @@ def main():
                 "value": round(rate, 1),
                 "unit": "photons/s",
                 "vs_baseline": None if vs is None else round(vs, 2),
+                "extras": extras,
             }
         )
     )

@@ -19,9 +19,14 @@ parameter-dependent, and each deposit is
     deposit(d) = power[e] * base_color * prod_{diffuse hits k<=d} albedo[r_k] * tint_k
 
 so the whole lightmap is linear in power and polynomial in albedo. The
-custom VJP below therefore REPLAYS the forward trajectories from the same
-threefry counters per batch and accumulates parameter cotangents with O(1)
-residual memory — no stored paths, no per-batch carries (SURVEY.md §7 step 6).
+custom VJPs below therefore save only the PARAMETERS as residuals and
+REPLAY the forward trajectories from the same threefry counters per batch
+in the backward (SURVEY.md §7 step 6). Within one replayed batch,
+`make_diff_renderer`'s backward uses jax.vjp over trace_batch (standard
+per-batch autodiff residuals, bounded by the batch size);
+`make_diff_renderer_wide`'s backward is fully analytic over the deposit
+stream — no autodiff residuals at all, just the [B*D] ids/colors it
+recomputes and consumes per batch.
 """
 from __future__ import annotations
 
@@ -268,6 +273,144 @@ def make_diff_renderer_sharded(
             )
 
         return run(albedo, power, g)
+
+    render.defvjp(render_fwd, render_bwd)
+    return jax.jit(render)
+
+
+def make_diff_renderer_wide(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    aa,
+    sublanes: int = 8,
+):
+    """Differentiable renderer on the PRODUCTION wide Pallas kernel.
+
+    Forward: the wide AA megakernel with per-rect albedo applied in-kernel
+    (trace_deposits_wide_diff). Backward: REPLAYS the same kernel from the
+    same threefry counters — trajectories are parameter-independent, so the
+    replay reproduces the exact forward deposit stream — then folds the
+    lightmap cotangent analytically:
+
+        deposit(p, d) = power[e] * base * prod_{diffuse k<=d} albedo[r_k] * tint_k
+        w(p, d)   = <g[texel(p, d)], deposit(p, d)>
+        S(p, k)   = sum_{d>=k} w(p, d)                  (suffix sum, D=8)
+        d_albedo[r] = sum_{p, k: diffuse hit on r} S(p, k) / albedo[r]
+        d_power[e]  = sum_{p in e} sum_d w(p, d) / power[e]
+
+    Residual memory is O(params): only (albedo, power) are saved; the
+    per-batch deposit stream ([B*D] ids + colors) is recomputed and
+    consumed inside the backward loop. Anchor: the deposit chain of
+    photonmap.cl:236-258 — every deposit is linear in power and in each
+    picked-up albedo factor.
+    """
+    from ..engines.photon_pallas import emitter_vector
+    from ..engines.photon_pallas_wide import (
+        LANES, _splat, trace_deposits_wide_diff,
+    )
+
+    D = cfg.max_depth
+    S = int(sublanes)
+    TB = S * LANES
+    B = int(cfg.photons_per_batch)
+    if B % TB:
+        B = ((B + TB - 1) // TB) * TB
+    n_blocks = B // TB
+    U = uniforms_per_photon(cfg.max_depth)
+    schedule = _emitter_batches(np.asarray(emitters.counts), B)
+    key = jax.random.PRNGKey(cfg.seed)
+    perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)  # slot -> rect index
+    N = int(perm.shape[0])
+
+    def emitter_slice(e):
+        return EmitterSlice(
+            pos=emitters.pos[e],
+            wvec=emitters.wvec[e],
+            hvec=emitters.hvec[e],
+            n=emitters.n[e],
+            color=emitters.color[e],
+            is_window=emitters.is_window[e],
+        )
+
+    def em_vec_scaled(e, power):
+        v = emitter_vector(emitter_slice(e))
+        return v.at[:, 12:15].mul(power[e])
+
+    def batch_uniforms(batch_idx):
+        k = jax.random.fold_in(key, batch_idx)
+        return jax.random.uniform(k, (B, U), dtype=jnp.float32)
+
+    def n_valid(i, n_batches, last_valid):
+        return jnp.where(
+            i == n_batches - 1, jnp.int32(last_valid), jnp.int32(B)
+        )
+
+    def forward_loop(albedo, power):
+        albedo_aa = albedo[perm]
+        lm = jnp.zeros((num_texels, 3), jnp.float32)
+        for e, base_batch, n_batches, last_valid in schedule:
+            ev = em_vec_scaled(e, power)
+
+            def body(i, lm, ev=ev, base_batch=base_batch,
+                     n_batches=n_batches, last_valid=last_valid):
+                u = batch_uniforms(base_batch + i)
+                idx, col, _ = trace_deposits_wide_diff(
+                    aa.fields, albedo_aa, ev, u,
+                    n_valid(i, n_batches, last_valid), cfg,
+                    aa.group_counts, S,
+                )
+                return _splat(lm, idx, col, cfg)
+
+            lm = jax.lax.fori_loop(0, n_batches, body, lm)
+        return lm
+
+    @jax.custom_vjp
+    def render(albedo, power):
+        return forward_loop(albedo, power)
+
+    def render_fwd(albedo, power):
+        # residuals: parameters only — the backward replays trajectories
+        return forward_loop(albedo, power), (albedo, power)
+
+    def render_bwd(res, g):
+        albedo, power = res
+        albedo_aa = albedo[perm]
+        da_slots = jnp.zeros((N,), jnp.float32)
+        d_power = jnp.zeros_like(power)
+        for e, base_batch, n_batches, last_valid in schedule:
+            ev = em_vec_scaled(e, power)
+
+            def body(i, carry, ev=ev, base_batch=base_batch,
+                     n_batches=n_batches, last_valid=last_valid):
+                da, dpe = carry
+                u = batch_uniforms(base_batch + i)
+                idx, col, ridx = trace_deposits_wide_diff(
+                    aa.fields, albedo_aa, ev, u,
+                    n_valid(i, n_batches, last_valid), cfg,
+                    aa.group_counts, S,
+                )
+                w = jnp.sum(g[idx] * col, axis=-1)           # [B*D]
+                w3 = w.reshape(n_blocks, D, S * LANES)
+                suf = jnp.cumsum(w3[:, ::-1, :], axis=1)[:, ::-1, :]
+                flat_r = ridx                                 # [B*D]
+                contrib = jnp.where(flat_r >= 0, suf.reshape(-1), 0.0)
+                da = da + jax.ops.segment_sum(
+                    contrib, jnp.clip(flat_r, 0, N - 1), num_segments=N
+                )
+                return da, dpe + w.sum()
+
+            da_slots, dpe = jax.lax.fori_loop(
+                0, n_batches, body, (da_slots, jnp.float32(0.0))
+            )
+            d_power = d_power.at[e].add(
+                jnp.where(power[e] != 0, dpe / power[e], 0.0)
+            )
+        safe = jnp.where(albedo_aa > 1e-12, albedo_aa, 1.0)
+        da_slots = jnp.where(albedo_aa > 1e-12, da_slots / safe, 0.0)
+        d_albedo = jnp.zeros_like(albedo).at[perm].add(da_slots)
+        return d_albedo, d_power
 
     render.defvjp(render_fwd, render_bwd)
     return jax.jit(render)

@@ -51,8 +51,32 @@ _MISS = 1e30
 LANES = 128
 
 
+def batch_seed(seed: int, global_batch):
+    """int32 device-PRNG seed per (run seed, global batch index); the
+    kernel additionally folds in its block id (pltpu.prng_seed varargs)."""
+    return (
+        jnp.int32(seed) * jnp.int32(1000003)
+        + jnp.asarray(global_batch, jnp.int32)
+    )
+
+
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
-                 unroll: int = 1):
+                 unroll: int = 1, diff: bool = False, rng: bool = False):
+    """`diff=True` builds the differentiable-path variant: per-rect albedo
+    read from an extra SMEM row (replacing the scalar cfg.albedo,
+    diff/render.py parameterization), plus a third output recording the
+    rect slot of each DIFFUSE hit (-1 otherwise) — everything the backward
+    replay needs to accumulate albedo cotangents (photonmap.cl:236-258
+    deposit chain: each deposit is linear in power and in every albedo
+    factor picked up at diffuse bounces before it).
+
+    `rng=True` builds the device-RNG variant: uniforms come from the TPU
+    hardware PRNG (pltpu.prng_random_bits) seeded per (batch, block)
+    instead of a precomputed [B, U] tensor — the TPU analog of the
+    reference kernel's in-register LCG (photonmap.cl:21-25, per-item seed
+    :272-275). Removes U*4 bytes/photon of HBM traffic and the host-side
+    re-tile. Stream differs from threefry, so parity vs the XLA engine is
+    statistical, not bitwise (like the reference CL-vs-native pair)."""
     D = cfg.max_depth
     TB = S * LANES
     eps = np.float32(cfg.self_intersect_eps)
@@ -65,10 +89,42 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
     g0, g1, g2 = group_counts
     starts = (0, g0, g0 + g1)
 
-    def kernel(em_ref, nvalid_ref, scene_ref, u_ref, idx_ref, col_ref):
-        # uniforms arrive transposed: u_ref[c*S:(c+1)*S, :] is draw column c
-        def draw(c):
-            return u_ref[pl.ds(c * S, S), :]
+    def body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref, idx_ref,
+             col_ref, ridx_ref):
+        if rng:
+            # counter-hash RNG per (photon, draw): murmur3's fmix32
+            # finalizer over (global photon id, draw column, batch seed) —
+            # the TPU analog of the reference kernel's per-item counter LCG
+            # (photonmap.cl:21-25, :272-275), but order-independent and
+            # identical in interpret mode and on hardware (the pltpu
+            # hardware PRNG returns zeros under interpretation). ~10 VPU
+            # ops per [S, L] draw tile.
+            seed = u_ref[0, 0]
+            rgid = (
+                pl.program_id(0) * TB
+                + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+            )
+
+            def draw(c):
+                x = rgid * jnp.int32(-1640531527) + (
+                    seed + jnp.int32(c) * jnp.int32(97929)
+                )
+                x = x ^ jax.lax.shift_right_logical(x, 16)
+                x = x * jnp.int32(-2048144789)   # 0x85ebca6b
+                x = x ^ jax.lax.shift_right_logical(x, 13)
+                x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
+                x = x ^ jax.lax.shift_right_logical(x, 16)
+                # top 24 bits -> [0, 1) exactly representable in f32
+                return (
+                    jax.lax.shift_right_logical(x, 8).astype(jnp.float32)
+                    * jnp.float32(1.0 / (1 << 24))
+                )
+        else:
+            # uniforms arrive transposed: u_ref[c*S:(c+1)*S, :] is draw
+            # column c
+            def draw(c):
+                return u_ref[pl.ds(c * S, S), :]
 
         epx, epy, epz = em_ref[0, 0], em_ref[0, 1], em_ref[0, 2]
         ewx, ewy, ewz = em_ref[0, 3], em_ref[0, 4], em_ref[0, 5]
@@ -122,6 +178,9 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             btex = jnp.zeros((S, LANES), jnp.float32)
             baxis = jnp.zeros((S, LANES), jnp.float32)
             bsign = jnp.zeros((S, LANES), jnp.float32)
+            # diff extras: albedo and slot index of the best hit
+            balb = jnp.full((S, LANES), albedo, jnp.float32)
+            bidx = jnp.full((S, LANES), -1.0, jnp.float32)
 
             for a in range(3):
                 count = group_counts[a]
@@ -135,7 +194,11 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
 
                 def one_rect(j, carry, a=a, pa=pa, ia=ia, pu=pu, du_=du_,
                              pv=pv, dv_=dv_, da_neg=da_neg):
-                    best, btex, baxis, bsign = carry
+                    if diff:
+                        best, btex, baxis, bsign, balb, bidx = carry
+                    else:
+                        best, btex, baxis, bsign = carry
+                        balb = bidx = None
                     o = scene_ref[A_O, j]
                     sn = scene_ref[A_SN, j]
                     fac = (o - pa) * ia
@@ -168,6 +231,14 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                     btex = jnp.where(upd, texel, btex)
                     baxis = jnp.where(upd, jnp.float32(a), baxis)
                     bsign = jnp.where(upd, sn, bsign)
+                    if diff:
+                        balb = jnp.where(upd, albedo_ref[0, j], balb)
+                        jf = (
+                            jnp.float32(j) if isinstance(j, int)
+                            else j.astype(jnp.float32)
+                        )
+                        bidx = jnp.where(upd, jf, bidx)
+                        return best, btex, baxis, bsign, balb, bidx
                     return best, btex, baxis, bsign
 
                 # unrolled main loop + static tail; in-order updates keep
@@ -175,18 +246,23 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                 n_main = count // unroll
                 start = starts[a]
 
-                def body(rr_, carry):
+                def loop_body(rr_, carry):
                     j0 = start + rr_ * unroll
                     for uu in range(unroll):
                         carry = one_rect(j0 + uu, carry)
                     return carry
 
-                carry = jax.lax.fori_loop(
-                    0, n_main, body, (best, btex, baxis, bsign)
+                init = (
+                    (best, btex, baxis, bsign, balb, bidx) if diff
+                    else (best, btex, baxis, bsign)
                 )
+                carry = jax.lax.fori_loop(0, n_main, loop_body, init)
                 for j in range(start + n_main * unroll, start + count):
                     carry = one_rect(j, carry)
-                best, btex, baxis, bsign = carry
+                if diff:
+                    best, btex, baxis, bsign, balb, bidx = carry
+                else:
+                    best, btex, baxis, bsign = carry
 
             hitmask = best < (_MISS * 0.5)
             alive = alive * hitmask.astype(jnp.float32)
@@ -225,9 +301,10 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             tr = jnp.where(on_floor, tint[0], 1.0)
             tg = jnp.where(on_floor, tint[1], 1.0)
             tb = jnp.where(on_floor, tint[2], 1.0)
-            cr = jnp.where(diffuse, cr * tr * albedo, cr)
-            cg = jnp.where(diffuse, cg * tg * albedo, cg)
-            cb = jnp.where(diffuse, cb * tb * albedo, cb)
+            alb = balb if diff else albedo
+            cr = jnp.where(diffuse, cr * tr * alb, cr)
+            cg = jnp.where(diffuse, cg * tg * alb, cg)
+            cb = jnp.where(diffuse, cb * tb * alb, cb)
             dirx = jnp.where(diffuse, ddx, mdx)
             diry = jnp.where(diffuse, ddy, mdy)
             dirz = jnp.where(diffuse, ddz, mdz)
@@ -239,12 +316,91 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             col_ref[pl.ds((3 * d) * S, S), :] = cr * alive
             col_ref[pl.ds((3 * d + 1) * S, S), :] = cg * alive
             col_ref[pl.ds((3 * d + 2) * S, S), :] = cb * alive
+            if diff:
+                # slot whose albedo multiplied into this (and all later)
+                # deposits; -1 at mirror bounces / dead photons
+                dm = diffuse.astype(jnp.float32) * alive
+                ridx_ref[pl.ds(d * S, S), :] = jnp.where(
+                    dm > 0, bidx, -1.0
+                ).astype(jnp.int32)
 
             px = px + dirx * eps
             py = py + diry * eps
             pz = pz + dirz * eps
 
+    if diff:
+        def kernel_diff(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
+                        idx_ref, col_ref, ridx_ref):
+            body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
+                 idx_ref, col_ref, ridx_ref)
+
+        return kernel_diff
+
+    def kernel(em_ref, nvalid_ref, scene_ref, u_ref, idx_ref, col_ref):
+        body(em_ref, nvalid_ref, scene_ref, None, u_ref, idx_ref, col_ref,
+             None)
+
     return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll",
+                              "batch_size")
+)
+def trace_deposits_wide_rng(
+    aa_fields: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    seed,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    batch_size: int,
+    sublanes: int = 8,
+    unroll: int = 4,
+):
+    """trace_deposits_wide with the device PRNG: no uniforms tensor at all.
+
+    `seed` is an int32 scalar unique per (emitter, batch[, device]);
+    deterministic for a fixed seed schedule."""
+    B = int(batch_size)
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+    U = uniforms_per_photon(D)
+
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    seed_arr = jnp.full((1, 1), seed, jnp.int32)
+    N = aa_fields.shape[1]
+    idx, col = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * D * S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 3 * D * S, LANES), jnp.float32),
+        ),
+    )(em_vec, nvalid_arr, aa_fields, seed_arr)
+    idx_flat = idx.reshape(-1)
+    col_flat = (
+        col.reshape(n_blocks, D, 3, S, LANES)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(-1, 3)
+    )
+    return idx_flat, col_flat
 
 
 @functools.partial(
@@ -313,6 +469,77 @@ def trace_deposits_wide(
     return idx_flat, col_flat
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll")
+)
+def trace_deposits_wide_diff(
+    aa_fields: jnp.ndarray,
+    albedo_aa: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    sublanes: int = 8,
+    unroll: int = 4,
+):
+    """Differentiable-path trace: per-rect albedo applied in-kernel.
+
+    `albedo_aa` is [N] f32 in KERNEL SLOT order (aa.perm maps slots back to
+    input rect indices). Returns (texel ids [B*D] int32, colors [B*D, 3]
+    f32, diffuse-hit slots [B*D] int32 with -1 at mirror/dead bounces) —
+    the full deposit stream plus what the backward replay needs
+    (diff/render.py)."""
+    B, U = uniforms.shape
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+
+    u_wide = (
+        uniforms.reshape(n_blocks, S, LANES, U)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_blocks * U * S, LANES)
+    )
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    N = aa_fields.shape[1]
+    idx, col, ridx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * D * S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * 3 * D * S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * D * S, LANES), jnp.int32),
+        ),
+    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), u_wide)
+    idx_flat = idx.reshape(-1)
+    ridx_flat = ridx.reshape(-1)
+    col_flat = (
+        col.reshape(n_blocks, D, 3, S, LANES)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(-1, 3)
+    )
+    return idx_flat, col_flat, ridx_flat
+
+
 def _splat(lightmap, idx, col, cfg: PhotonConfig):
     if cfg.splat == "scatter":
         return lightmap.at[idx].add(col)
@@ -342,24 +569,40 @@ def trace_batch_wide(
     static_argnames=("cfg", "batch_size", "group_counts", "sublanes"),
 )
 def _trace_emitter_wide(
-    lightmap, aa_fields, em_vec, key, base_batch, n_batches,
-    last_batch_valid, cfg: PhotonConfig, batch_size: int, group_counts,
-    sublanes: int,
+    lightmap, aa_fields, em_vec, key, base_batch, batch_offset, seg_len,
+    emitter_n_batches, last_batch_valid, cfg: PhotonConfig, batch_size: int,
+    group_counts, sublanes: int,
 ):
+    """Trace batches [batch_offset, batch_offset+seg_len) of one emitter's
+    schedule (segmenting serves the checkpoint loop, engines/schedule.py;
+    draws depend only on the absolute batch index so segmentation never
+    changes a photon)."""
     U = uniforms_per_photon(cfg.max_depth)
 
     def body(i, lm):
-        k = jax.random.fold_in(key, base_batch + i)
-        uniforms = jax.random.uniform(k, (batch_size, U), dtype=jnp.float32)
+        abs_i = batch_offset + i
         n_valid = jnp.where(
-            i == n_batches - 1, last_batch_valid, jnp.int32(batch_size)
+            abs_i == emitter_n_batches - 1,
+            last_batch_valid,
+            jnp.int32(batch_size),
         )
-        idx, col = trace_deposits_wide(
-            aa_fields, em_vec, uniforms, n_valid, cfg, group_counts, sublanes
-        )
+        if cfg.device_rng:
+            idx, col = trace_deposits_wide_rng(
+                aa_fields, em_vec, batch_seed(cfg.seed, base_batch + abs_i),
+                n_valid, cfg, group_counts, batch_size, sublanes,
+            )
+        else:
+            k = jax.random.fold_in(key, base_batch + abs_i)
+            uniforms = jax.random.uniform(
+                k, (batch_size, U), dtype=jnp.float32
+            )
+            idx, col = trace_deposits_wide(
+                aa_fields, em_vec, uniforms, n_valid, cfg, group_counts,
+                sublanes,
+            )
         return _splat(lm, idx, col, cfg)
 
-    return jax.lax.fori_loop(0, n_batches, body, lightmap)
+    return jax.lax.fori_loop(0, seg_len, body, lightmap)
 
 
 def render_photons(
@@ -369,55 +612,45 @@ def render_photons(
     cfg: PhotonConfig,
     aa: AARectsDev,
     sublanes: int = None,
+    checkpoint_path: str = None,
+    every_batches: int = 64,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA path (same per-emitter schedule and
     RNG keying as the other engines).
 
     `sublanes` sets the photon-block height (TB = sublanes*128); measured
     best on v5e is 64 at the default batch size (bench sweeps 2026-08-17),
-    auto-clamped so a block never exceeds the batch."""
-    B_cfg = int(cfg.photons_per_batch)
-    if B_cfg % LANES:
+    auto-clamped so a block never exceeds the batch. With
+    `checkpoint_path`, a production run checkpoints/resumes bit-identically
+    (engines/schedule.py)."""
+    from .schedule import run_schedule
+
+    B = int(cfg.photons_per_batch)
+    if B % LANES:
         raise ValueError(
             f"photons_per_batch must be a multiple of {LANES} for the wide "
-            f"Pallas engine (got {B_cfg}); use the XLA engine otherwise"
+            f"Pallas engine (got {B}); use the XLA engine otherwise"
         )
     if sublanes is None:
         sublanes = 64
     # the photon-block height must divide the batch
-    while sublanes > 1 and B_cfg % (sublanes * LANES):
+    while sublanes > 1 and B % (sublanes * LANES):
         sublanes //= 2
-    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
-    B = int(cfg.photons_per_batch)
-    counts = np.asarray(emitters.counts)
-    base_batch = 0
-    for e in range(len(counts)):
-        n = int(counts[e])
-        if n == 0:
-            continue
-        n_batches = (n + B - 1) // B
-        last_valid = n - (n_batches - 1) * B
-        em = EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
+
+    def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
+        return _trace_emitter_wide(
+            lm, aa.fields, emitter_vector(em), key, base_batch, off, seg,
+            n_batches, last_valid, cfg, B, aa.group_counts, sublanes,
         )
-        lightmap = _trace_emitter_wide(
-            lightmap,
-            aa.fields,
-            emitter_vector(em),
-            key,
-            jnp.int32(base_batch),
-            jnp.int32(n_batches),
-            jnp.int32(last_valid),
-            cfg,
-            B,
-            aa.group_counts,
-            sublanes,
-        )
-        base_batch += n_batches
-    return lightmap
+
+    return run_schedule(
+        trace_seg,
+        emitters,
+        num_texels,
+        cfg,
+        B,
+        checkpoint_path=checkpoint_path,
+        every_batches=every_batches,
+        fingerprint_extra=("wide",),
+    )

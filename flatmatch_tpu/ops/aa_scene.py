@@ -51,6 +51,7 @@ F_AA = 13
 class AARectsDev(NamedTuple):
     fields: jnp.ndarray            # [F_AA, N] f32, rects grouped by axis
     group_counts: Tuple[int, int, int]  # rects per normal-axis group
+    perm: np.ndarray = None        # [N] int32: kernel slot -> input index
 
 
 def _classify(r: Rect):
@@ -79,11 +80,13 @@ def pack_aa(rects: List[Rect]) -> Optional[AARectsDev]:
     from ..scene.rectangle import length_f32
 
     groups: List[List] = [[], [], []]
-    for r in rects:
+    group_src: List[List[int]] = [[], [], []]
+    for ri, r in enumerate(rects):
         c = _classify(r)
         if c is None:
             return None
         a, au, av = c
+        group_src[a].append(ri)
         w = np.asarray(r.width, f32)
         h = np.asarray(r.height, f32)
         wlen = length_f32(w)  # same value the general path uses
@@ -115,4 +118,7 @@ def pack_aa(rects: List[Rect]) -> Optional[AARectsDev]:
     return AARectsDev(
         fields=jnp.asarray(fields),
         group_counts=(len(groups[0]), len(groups[1]), len(groups[2])),
+        perm=np.asarray(
+            group_src[0] + group_src[1] + group_src[2], np.int32
+        ),
     )

@@ -36,6 +36,49 @@ def tiny():
     return scene, rects, emitters
 
 
+def test_device_rng_matches_statistically(tiny):
+    """The in-kernel device-PRNG path (cfg.device_rng) targets the same
+    integral as the threefry path: total energy and per-wall energies agree
+    to MC tolerance (interpret mode). The streams differ by design —
+    exactly the reference's CL-LCG vs native-rand() pair."""
+    import dataclasses
+
+    from flatmatch_tpu.scene.rectangle import num_tiles
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    spa = 30000.0
+    base = dataclasses.replace(
+        CFG, samples_per_area=spa, photons_per_batch=1024
+    )
+    ems = pack_emitters(scene, spa, base.window_color, base.light_color)
+    cfg_rng = dataclasses.replace(base, device_rng=True)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, ems, scene.num_texels, base, aa, sublanes=1
+            )
+        )
+        b = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=1
+            )
+        )
+        # deterministic for a fixed seed schedule
+        b2 = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=1
+            )
+        )
+    np.testing.assert_array_equal(b, b2)
+    np.testing.assert_allclose(b.sum(), a.sum(), rtol=0.03)
+    for r in scene.walls:
+        s = b[r.base : r.base + num_tiles(r)].sum()
+        t = a[r.base : r.base + num_tiles(r)].sum()
+        if t > a.sum() * 0.01:
+            np.testing.assert_allclose(s, t, rtol=0.2)
+
+
 def test_pack_aa_accepts_layout_scenes(tiny):
     scene, rects, emitters = tiny
     aa = pack_aa(scene.walls)
