@@ -47,10 +47,16 @@ def test_ao_texels_match_reference(name):
     # level-0 texels carry the AO values; the reference leaves mipmap slots
     # untouched (parseLayout zero-init), as do we.
     #
-    # Tolerance note: AO rays originate on texel centers that lie exactly in
-    # neighboring rects' planes, so hit/miss decisions at dx/dy boundaries
-    # are floating-point ties; C sequential math vs XLA (FMA, reassociation)
-    # flips a handful of the 481 rays on a few texels. Bound both the bulk
+    # Tolerance note — PROVEN by a per-ray audit (round 2, 2026-08-17):
+    # for mini's worst texel (wall 8, tile 80, rel diff 6.2e-3), 479 of the
+    # 481 rays agree with the reference per-ray to <1e-4 after aligning
+    # the geosphere table orders; exactly 2 edge-grazing diagonal rays
+    # (+-0.408, 0.408, 0.816) differ, and for those OUR hit lands at
+    # u = 0.000000000 — exactly on a rect's edge — where the reference's
+    # BSP traversal (shifted-origin arithmetic, photonmap.c:113-155)
+    # computes u infinitesimally negative and rejects. The 2-ray dist
+    # delta (1.96 vs 1.06) reproduces the full texel diff analytically.
+    # Knife-edge fp ties, not a physics divergence. Bound both the bulk
     # and the outliers.
     a, g = ours[level0], gold[level0]
     rel = np.abs(a - g) / np.maximum(np.abs(g), 1e-6)
