@@ -156,9 +156,15 @@ def make_diff_renderer_sharded(
     mesh,
 ):
     """Multi-chip differentiable renderer: photon DP over the `photons` mesh
-    axis with psum-reduced lightmaps AND psum-reduced parameter cotangents —
-    the gradient all-reduce rides the same collective schedule as the
-    forward (BASELINE.md: gradient psum overlapped with backward replay).
+    axis with psum-reduced lightmaps AND psum-reduced parameter cotangents.
+
+    On overlap (amending SURVEY §7 step 6's "overlap gradient psum with
+    backward replay"): the parameter cotangents here are O(N_rects +
+    N_emitters) ~ 1 KB, one psum per backward — there is no transfer worth
+    hiding behind compute. That design note applies to frameworks with
+    large gradients; this workload's only meaningful collective is the
+    forward lightmap psum ([T, 3] per emitter), which XLA's async
+    collective scheduler already overlaps where profitable.
 
     Deterministic for fixed (seed, device count). Forward and backward use
     the same per-(batch, device) threefry keys, so the backward replays the

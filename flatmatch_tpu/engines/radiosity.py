@@ -203,15 +203,15 @@ def _write_ids(ids, chunk_ids, start):
     jax.jit, donate_argnums=(0,), static_argnames=("rays", "group_counts")
 )
 def _form_factors_aa_all(
-    ids, aa_fields, centers_all, normals, starts, wis, cis, seed,
+    ids, aa_fields, centers_all, normals, starts, wis, cis, key,
     rays: int, group_counts,
 ):
     """Whole AA form-factor pass as ONE program: fori over texel chunks,
     sampling + nearest-hit + table write all on device. One dispatch instead
-    of two per chunk (each dispatch pays interconnect latency here)."""
+    of two per chunk (each dispatch pays interconnect latency here).
+    `key` is a threefry key (callers fold in the device index when
+    sharding the ray axis)."""
     from ..ops.aa_query import MISS, aa_nearest
-
-    key = jax.random.PRNGKey(seed)
     chunk = centers_all.shape[1]
     TB = 8 * 128
     R = chunk * rays
@@ -232,21 +232,12 @@ def _form_factors_aa_all(
     return jax.lax.fori_loop(0, len(starts), body, ids)
 
 
-def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
-                         rows_pad: int, use_aa: bool) -> jnp.ndarray:
-    """Source-texel-id table as a DEVICE-resident [rows_pad, rays] int32.
-
-    At production scale the table is gigabytes (numTexels x 10k rays, the
-    reference's acknowledged memory hog, radiosityNative.c:148-154); it fits
-    v5e HBM, and keeping it on device removes the host round-trip that would
-    otherwise stream it out once and back every gather iteration."""
-    rays = int(cfg.rays_per_texel)
-    chunk = int(cfg.texels_per_chunk)
-    ids = jnp.full((rows_pad, rays), -1, jnp.int32)
-
-    # host-side chunk schedule (padded rows of a chunk land in the wall's
-    # mipmap slots or the next wall's rows; later writes overwrite the
-    # latter, and the caller masks non-level-0 rows back to -1)
+def _ff_schedule(scene: Scene, chunk: int):
+    """Host-side chunk schedule for the form-factor pass (padded rows of a
+    chunk land in the wall's mipmap slots or the next wall's rows; later
+    writes overwrite the latter, and callers mask non-level-0 rows back to
+    -1). Returns device arrays (centers [C, chunk, 3], normals [C, 3],
+    starts/wis/cis [C])."""
     centers_all, normals, starts, wis, cis = [], [], [], [], []
     for wi, wall in enumerate(scene.walls):
         centers = tile_centers(wall)
@@ -260,16 +251,33 @@ def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
             starts.append(wall.base + s)
             wis.append(wi)
             cis.append(ci)
-    centers_all = jnp.asarray(np.stack(centers_all))
-    normals = jnp.asarray(np.stack(normals))
-    starts = jnp.asarray(np.asarray(starts, np.int32))
-    wis = jnp.asarray(np.asarray(wis, np.int32))
-    cis = jnp.asarray(np.asarray(cis, np.int32))
+    return (
+        jnp.asarray(np.stack(centers_all)),
+        jnp.asarray(np.stack(normals)),
+        jnp.asarray(np.asarray(starts, np.int32)),
+        jnp.asarray(np.asarray(wis, np.int32)),
+        jnp.asarray(np.asarray(cis, np.int32)),
+    )
+
+
+def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
+                         rows_pad: int, use_aa: bool) -> jnp.ndarray:
+    """Source-texel-id table as a DEVICE-resident [rows_pad, rays] int32.
+
+    At production scale the table is gigabytes (numTexels x 10k rays, the
+    reference's acknowledged memory hog, radiosityNative.c:148-154); it fits
+    v5e HBM, and keeping it on device removes the host round-trip that would
+    otherwise stream it out once and back every gather iteration."""
+    rays = int(cfg.rays_per_texel)
+    chunk = int(cfg.texels_per_chunk)
+    ids = jnp.full((rows_pad, rays), -1, jnp.int32)
+    centers_all, normals, starts, wis, cis = _ff_schedule(scene, chunk)
 
     if use_aa:
         return _form_factors_aa_all(
             ids, rects_or_aa.fields, centers_all, normals, starts, wis, cis,
-            int(cfg.seed), rays, tuple(rects_or_aa.group_counts),
+            jax.random.PRNGKey(cfg.seed), rays,
+            tuple(rects_or_aa.group_counts),
         )
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -282,6 +290,134 @@ def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
         )
         ids = _write_ids(ids, chunk_ids, int(starts[i]))
     return ids
+
+
+def render_radiosity_sharded(
+    scene: Scene, cfg: RadiosityConfig, mesh=None
+) -> np.ndarray:
+    """Radiosity with the RAY axis sharded over the `photons` mesh.
+
+    Each device traces rays_per_texel/n_dev decorrelated form-factor rays
+    per texel into a LOCAL slice of the source-id table (the reference's
+    numTexels x 10000 int32 memory hog, radiosityNative.c:148-154, divides
+    across chips), gathers over its slice each iteration, and one psum per
+    iteration combines the partial gathers. Same estimator as
+    single-device at the same total ray budget (ray partition differs, so
+    agreement is statistical — like the sharded photon engines)."""
+    import functools as ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import photon_mesh
+
+    shard_map = jax.shard_map
+    mesh = mesh or photon_mesh()
+    n_dev = mesh.shape["photons"]
+
+    rects, total, first_window, first_light = extended_rects(scene)
+    plan = build_plan(rects)
+
+    src = np.zeros((total, 3), f32)
+    src[first_window:first_light] = np.asarray(cfg.window_emission, f32)
+    src[first_light:total] = np.asarray(cfg.light_emission, f32)
+
+    aa = None
+    if jax.default_backend() == "tpu":
+        from ..ops.aa_scene import pack_aa
+
+        aa = pack_aa(rects)
+
+    rho = f32(cfg.reflectance)
+    rays_total = int(cfg.rays_per_texel)
+    rays_local = (rays_total + n_dev - 1) // n_dev
+    rays_eff = rays_local * n_dev  # actual total budget after rounding
+    chunk = max(1, (1 << 22) // max(rays_local, 1))
+    n_chunks = (scene.num_texels + chunk - 1) // chunk
+    rows_pad = max(
+        n_chunks * chunk, scene.num_texels + int(cfg.texels_per_chunk)
+    )
+
+    centers_all, normals, starts, wis, cis = _ff_schedule(
+        scene, int(cfg.texels_per_chunk)
+    )
+    level0 = np.zeros(rows_pad, bool)
+    l0 = scene.level0_mask()
+    level0[: len(l0)] = l0
+    level0_j = jnp.asarray(level0)
+    rects_dev = pack_rects(rects) if aa is None else None
+
+    repl = P()
+    by_rays = P(None, "photons")
+
+    @ft.partial(
+        shard_map, mesh=mesh, in_specs=(), out_specs=by_rays,
+        check_vma=False,
+    )
+    def build_table():
+        ax = jax.lax.axis_index("photons")
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), ax)
+        ids = jnp.full((rows_pad, rays_local), -1, jnp.int32)
+        if aa is not None:
+            ids = _form_factors_aa_all(
+                ids, aa.fields, centers_all, normals, starts, wis, cis,
+                key, rays_local, tuple(aa.group_counts),
+            )
+        else:
+            C = centers_all.shape[0]
+
+            def body(c, ids):
+                k = jax.random.fold_in(
+                    jax.random.fold_in(key, wis[c]), cis[c]
+                )
+                chunk_ids = _form_factor_chunk(
+                    rects_dev, centers_all[c], normals[c], k, rays_local
+                )
+                return jax.lax.dynamic_update_slice(
+                    ids, chunk_ids, (starts[c], 0)
+                )
+
+            ids = jax.lax.fori_loop(0, C, body, ids)
+        return jnp.where(level0_j[:, None], ids, -1)
+
+    ids_sharded = jax.jit(build_table)()
+
+    num_texels = scene.num_texels
+
+    @jax.jit
+    def iteration(src_dev, ids):
+        @ft.partial(
+            shard_map, mesh=mesh, in_specs=(repl, by_rays),
+            out_specs=repl, check_vma=False,
+        )
+        def gather_all(src_dev, ids_local):
+            def body(i, dest):
+                sl = jax.lax.dynamic_slice(
+                    ids_local, (i * chunk, 0), (chunk, rays_local)
+                )
+                d = _gather_chunk(src_dev, sl)
+                return jax.lax.dynamic_update_slice(
+                    dest, d, (i * chunk, 0)
+                )
+
+            dest = jax.lax.fori_loop(
+                0, n_chunks, body, jnp.zeros((rows_pad, 3), jnp.float32)
+            )
+            return jax.lax.psum(dest, "photons")
+
+        dest = gather_all(src_dev, ids)
+        dest_full = (
+            jnp.zeros((total, 3), jnp.float32)
+            .at[:num_texels]
+            .set(dest[:num_texels])
+        )
+        nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays_eff)
+        return apply_plan(nxt, plan)
+
+    src_dev = jnp.asarray(src)
+    for _ in range(int(cfg.iterations)):
+        src_dev = iteration(src_dev, ids_sharded)
+
+    return np.asarray(src_dev)[:num_texels].copy()
 
 
 def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:

@@ -19,6 +19,7 @@ Results are bit-deterministic for a fixed (seed, device count).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -210,6 +211,8 @@ def render_photons_sharded_wide(
     from ..engines.schedule import run_schedule
     from . import multihost
 
+    from ..engines.photon_pallas_wide import compact_aa
+
     mesh = mesh or photon_mesh()
     n_dev = mesh.shape["photons"]
     B = int(cfg.photons_per_batch)
@@ -223,24 +226,129 @@ def render_photons_sharded_wide(
         sublanes //= 2
 
     key = jax.random.PRNGKey(cfg.seed)
+    aa_c, total_c, expand = compact_aa(aa, num_texels)
 
     def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
         return _trace_emitter_sharded_wide(
-            lm, aa.fields, emitter_vector(em), key, base_batch, off, seg,
-            n_batches, last_valid, cfg, B, aa.group_counts, sublanes, mesh,
+            lm, aa_c.fields, emitter_vector(em), key, base_batch, off, seg,
+            n_batches, last_valid, cfg, B, aa_c.group_counts, sublanes,
+            mesh,
         )
 
-    return run_schedule(
+    compact_lm = run_schedule(
         trace_seg,
         emitters,
-        num_texels,
+        total_c,
         cfg,
         B,
         checkpoint_path=checkpoint_path,
         every_batches=every_batches,
-        fingerprint_extra=("wide-sharded", n_dev),
+        fingerprint_extra=("wide-sharded", "compact", n_dev),
         write_checkpoints=multihost.is_primary(),
     )
+    return expand(compact_lm)
+
+
+def render_ao_sharded(
+    scene,
+    aa,
+    cfg,
+    mesh: Mesh = None,
+    rays_per_call: int = 1 << 21,
+):
+    """Ambient occlusion sharded over the `photons` mesh axis.
+
+    AO is deterministic and texel-parallel (photonmap.c:436-491: every
+    texel's 481 rays are independent), so each device evaluates a disjoint
+    slice of every texel chunk — no collectives at all. Deterministic;
+    matches the single-device Pallas engine to float tolerance (the
+    zero-weight ray padding below changes the reduction tree, nothing
+    else)."""
+    import numpy as np
+
+    from ..engines.ao import tile_centers, wall_directions
+    from ..engines.ao_pallas import LANES as AOLANES, _ao_texel_chunk
+    from ..ops.geosphere import geosphere
+    from ..scene.rectangle import num_tiles
+
+    f32 = np.float32
+    mesh = mesh or photon_mesh()
+    n_dev = mesh.shape["photons"]
+
+    vs = geosphere(cfg.geosphere_level)
+    K = len(vs)
+    # pad the ray table to a power of two with ZERO-WEIGHT copies of ray 0
+    # (fac=0 drops them from both sums): (C*K_pad) % 1024 == 0 then needs
+    # only C % (1024/gcd) — tiny per-device chunks instead of 1024-texel
+    # quanta, so small scenes don't trace 4x padding
+    K_pad = 1 << int(np.ceil(np.log2(K)))
+    fac = np.zeros(K_pad, f32)
+    fac[:K] = vs[:, 2].astype(f32)
+    fac = jnp.asarray(fac)
+
+    centers = np.concatenate([tile_centers(w) for w in scene.walls])
+    wall_of_texel = np.concatenate(
+        [np.full(num_tiles(w), i, np.int32)
+         for i, w in enumerate(scene.walls)]
+    )
+
+    def padded_dirs(n):
+        d = wall_directions(n, cfg.geosphere_level)
+        return np.concatenate(
+            [d, np.broadcast_to(d[0:1], (K_pad - K, 3))]
+        ).astype(f32)
+
+    dir_tables = jnp.asarray(
+        np.stack([padded_dirs(w.n) for w in scene.walls])
+    )
+    centers_dev = jnp.asarray(centers)
+    wall_dev = jnp.asarray(wall_of_texel)
+
+    T0 = len(centers)
+    texels = np.zeros((scene.num_texels, 3), f32)
+    vals = np.empty(T0, f32)
+
+    # per-device chunk slices must satisfy the kernel block constraint:
+    # (C_local * K_pad) % 1024 == 0
+    c_quantum = max(1, 1024 // math.gcd(K_pad, 1024))
+    quantum = c_quantum * n_dev
+    tex_per_call = max(AOLANES, rays_per_call * n_dev // K_pad)
+    tex_per_call = max(quantum, (tex_per_call // quantum) * quantum)
+    # never wrap-pad beyond the scene itself
+    t0_rounded = ((T0 + quantum - 1) // quantum) * quantum
+    tex_per_call = min(tex_per_call, t0_rounded)
+    K = K_pad
+
+    sharded = P("photons")
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(sharded, sharded),
+        out_specs=sharded,
+        check_vma=False,
+    )
+    def chunk_fn(c, d):
+        return _ao_texel_chunk(
+            aa.fields, c, d, fac, aa.group_counts, K,
+            float(cfg.sky_distance), float(cfg.normalization),
+        )
+
+    for s in range(0, T0, tex_per_call):
+        e = min(s + tex_per_call, T0)
+        n_real = e - s
+        idxs = jnp.arange(s, s + tex_per_call) % T0  # wrap-pad
+        c = centers_dev[idxs]
+        d = dir_tables[wall_dev[idxs]]
+        vals[s:e] = np.asarray(chunk_fn(c, d))[:n_real]
+
+    t = 0
+    for wall in scene.walls:
+        n = num_tiles(wall)
+        texels[wall.base : wall.base + n] = vals[t : t + n, None]
+        t += n
+    return texels
 
 
 def render_photons_sharded(

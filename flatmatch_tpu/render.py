@@ -162,6 +162,13 @@ def run_engine(
 
         aa = pack_aa(scene.walls)
         if aa is not None and jax.default_backend() == "tpu":
+            if mesh is not None:
+                from .parallel import mesh as pmesh
+                from .utils.progress import info
+
+                info(f"sharded AO engine over {mesh.shape['photons']} "
+                     f"devices")
+                return pmesh.render_ao_sharded(scene, aa, cfg.ao, mesh)
             from .engines import ao_pallas
 
             return ao_pallas.render_ao(scene, aa, cfg.ao)
@@ -171,6 +178,14 @@ def run_engine(
     if cfg.engine is Engine.RADIOSITY:
         from .engines import radiosity
 
+        if mesh is not None:
+            from .utils.progress import info
+
+            info(f"sharded radiosity engine over {mesh.shape['photons']} "
+                 f"devices (ray axis)")
+            return radiosity.render_radiosity_sharded(
+                scene, cfg.radiosity, mesh
+            )
         return radiosity.render_radiosity(scene, cfg.radiosity)
     raise ValueError(f"unknown engine {cfg.engine}")
 

@@ -144,6 +144,51 @@ def test_pipeline_auto_selects_sharded_engine(tiny):
     )
 
 
+def test_sharded_ao_bit_identical(tiny):
+    """AO sharded over the mesh is BIT-identical to the single-device
+    Pallas engine (deterministic, texel-disjoint work, no collectives)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.config import AoConfig
+    from flatmatch_tpu.engines import ao_pallas
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.parallel.mesh import render_ao_sharded
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    # geosphere level 2 (19 rays/texel): same mechanism, 25x less
+    # interpret-mode work than the production 481-ray table (whose
+    # on-hardware parity is gated by tools/ao_hardware_gate.py)
+    cfg = AoConfig(geosphere_level=2)
+    with pltpu.force_tpu_interpret_mode():
+        single = ao_pallas.render_ao(scene, aa, cfg)
+        sharded = render_ao_sharded(scene, aa, cfg, photon_mesh())
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_radiosity_matches_statistically(tiny):
+    """Radiosity with the ray axis sharded over the mesh targets the same
+    integral as the single-device engine (different ray partition, so
+    agreement is statistical)."""
+    from flatmatch_tpu.config import RadiosityConfig
+    from flatmatch_tpu.engines.radiosity import (
+        render_radiosity, render_radiosity_sharded,
+    )
+
+    scene, rects, emitters = tiny
+    cfg = RadiosityConfig(rays_per_texel=256, iterations=3, seed=4)
+    single = render_radiosity(scene, cfg)
+    sharded = render_radiosity_sharded(scene, cfg, photon_mesh())
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded.sum(), single.sum(), rtol=0.03)
+    corr = np.corrcoef(sharded.ravel(), single.ravel())[0, 1]
+    # per-texel MC sigma at 256 rays is ~6%; 0.98 is the matching bar
+    assert corr > 0.98, corr
+    # deterministic for fixed (seed, mesh)
+    again = render_radiosity_sharded(scene, cfg, photon_mesh())
+    np.testing.assert_array_equal(sharded, again)
+
+
 def test_sharded_respects_last_batch_mask(tiny):
     """A photon budget that is not a multiple of (batch x devices) must not
     trace padding photons: energy scales linearly with the budget."""

@@ -1,0 +1,49 @@
+"""On-HARDWARE AO golden gate: run the deterministic AO Pallas engine on
+the real chip against the reference-build f32 dumps (same tolerances as
+tests/test_ao_parity.py uses on CPU). Catches Mosaic-vs-XLA numeric
+regressions that interpret-mode tests cannot see (the bf16-MXU texel-id
+corruption class, photon_pallas.py header note).
+
+Run on a TPU host:  python tools/ao_hardware_gate.py
+Last green (v5e, 2026-08-17): tiny max_rel 2.4e-6;
+mini mean_rel 1.2e-4, 1.98% of texels >= 5e-4 (knife-edge ties, see
+tests/test_ao_parity.py audit note)."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from flatmatch_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import numpy as np
+
+from flatmatch_tpu.config import AoConfig
+from flatmatch_tpu.engines import ao_pallas
+from flatmatch_tpu.ops.aa_scene import pack_aa
+from flatmatch_tpu.scene import geometry, image as im, layout
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+
+for name in ("tiny", "mini"):
+    img = im.load_layout(f"/root/repo/tests/fixtures/{name}.png")
+    lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    gold = np.fromfile(
+        f"/root/repo/tests/fixtures/{name}_ao_texels.f32", dtype="<f4"
+    ).reshape(scene.num_texels, 4)[:, :3]
+    aa = pack_aa(scene.walls)
+    ours = np.asarray(ao_pallas.render_ao(scene, aa, AoConfig()))
+    level0 = scene.level0_mask()
+    a, g = ours[level0], gold[level0]
+    denom = np.maximum(np.abs(g), 1e-6)
+    rel = np.abs(a - g) / denom
+    frac_bad = float((rel.max(axis=1) >= 5e-4).mean())
+    print(
+        f"{name}: max_rel={rel.max():.2e} mean_rel={rel.mean():.2e} "
+        f"frac_texels_rel>=5e-4: {frac_bad:.4f}"
+    )
+    assert rel.mean() < 2e-4, rel.mean()
+    assert frac_bad <= 0.02, frac_bad
+print("AO on-hardware golden gate: OK")
