@@ -46,7 +46,7 @@ SCENE_PNG = pathlib.Path("/root/reference/example.png")
 if not SCENE_PNG.exists():
     SCENE_PNG = REPO / "tests" / "fixtures" / "mini.png"
 
-TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 25))
+TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 26))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
 SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
 # gate the secondary engine benches (AO texel-rays/s, radiosity rays/s) —
@@ -128,10 +128,11 @@ def main():
         def run(ems):
             return photon.render_photons(rects, ems, scene.num_texels, cfg)
 
-    # warmup/compile with a tiny budget at identical shapes; axon's
-    # block_until_ready does not actually block, so force a readback
-    warm = pack_emitters(scene, spa / 256, cfg.window_color, cfg.light_color)
-    float(np.asarray(run(warm)).sum())
+    # warmup/compile with the REAL budget: the wide engine compiles the
+    # whole emitter schedule as one program (static schedule), so the warm
+    # run must match it. axon's block_until_ready does not actually block,
+    # so force a readback.
+    float(np.asarray(run(emitters)).sum())
 
     t0 = time.perf_counter()
     lm = run(emitters)

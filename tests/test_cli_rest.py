@@ -46,6 +46,7 @@ def test_cli_flag_plumbing():
         seed = 7
         photons_per_batch = 256
         splat = "bucket_exact"
+        device_rng = True
         radiosity_rays = 55
         radiosity_iterations = 3
         ao_chunk = 64
@@ -58,6 +59,7 @@ def test_cli_flag_plumbing():
     assert cfg.radiosity.iterations == 3
     assert cfg.radiosity.seed == 7
     assert cfg.ao.texels_per_chunk == 64
+    assert cfg.photon.device_rng is True
 
 
 def test_package_offer(tmp_path):
