@@ -61,7 +61,8 @@ def batch_seed(seed: int, global_batch):
 
 
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
-                 unroll: int = 1, diff: bool = False, rng: bool = False):
+                 unroll: int = 1, diff: bool = False, rng: bool = False,
+                 chains: int = 1):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -241,28 +242,79 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                         return best, btex, baxis, bsign, balb, bidx
                     return best, btex, baxis, bsign
 
-                # unrolled main loop + static tail; in-order updates keep
-                # the first-min tie break identical to a rect-at-a-time loop
-                n_main = count // unroll
                 start = starts[a]
+                if chains == 1:
+                    # unrolled main loop + static tail; in-order updates
+                    # keep the first-min tie break identical to a
+                    # rect-at-a-time loop
+                    n_main = count // unroll
 
-                def loop_body(rr_, carry):
-                    j0 = start + rr_ * unroll
-                    for uu in range(unroll):
-                        carry = one_rect(j0 + uu, carry)
-                    return carry
+                    def loop_body(rr_, carry):
+                        j0 = start + rr_ * unroll
+                        for uu in range(unroll):
+                            carry = one_rect(j0 + uu, carry)
+                        return carry
 
-                init = (
-                    (best, btex, baxis, bsign, balb, bidx) if diff
-                    else (best, btex, baxis, bsign)
-                )
-                carry = jax.lax.fori_loop(0, n_main, loop_body, init)
-                for j in range(start + n_main * unroll, start + count):
-                    carry = one_rect(j, carry)
-                if diff:
-                    best, btex, baxis, bsign, balb, bidx = carry
+                    init = (
+                        (best, btex, baxis, bsign, balb, bidx) if diff
+                        else (best, btex, baxis, bsign)
+                    )
+                    carry = jax.lax.fori_loop(0, n_main, loop_body, init)
+                    for j in range(start + n_main * unroll, start + count):
+                        carry = one_rect(j, carry)
+                    if diff:
+                        best, btex, baxis, bsign, balb, bidx = carry
+                    else:
+                        best, btex, baxis, bsign = carry
                 else:
-                    best, btex, baxis, bsign = carry
+                    # `chains` independent running minimums over contiguous
+                    # rect blocks — breaks the serial select-chain so the
+                    # VPU can overlap independent rect tests. Bit-identical
+                    # to the single chain: the padded tail clamps j to the
+                    # group's last rect (a duplicate never wins a strict-<
+                    # compare) and the in-order merge keeps first-min
+                    # tie-break semantics across blocks.
+                    part = (count + chains - 1) // chains
+
+                    def mk_fresh():
+                        base4 = (
+                            jnp.full((S, LANES), _MISS, jnp.float32),
+                            jnp.zeros((S, LANES), jnp.float32),
+                            jnp.zeros((S, LANES), jnp.float32),
+                            jnp.zeros((S, LANES), jnp.float32),
+                        )
+                        if diff:
+                            return base4 + (
+                                jnp.full((S, LANES), albedo, jnp.float32),
+                                jnp.full((S, LANES), -1.0, jnp.float32),
+                            )
+                        return base4
+
+                    last = jnp.int32(start + count - 1)
+
+                    def multi_body(r, chs):
+                        out = []
+                        for ch in range(chains):
+                            j = jnp.minimum(
+                                jnp.int32(start + ch * part) + r, last
+                            )
+                            out.append(one_rect(j, chs[ch]))
+                        return tuple(out)
+
+                    chs = jax.lax.fori_loop(
+                        0, part, multi_body,
+                        tuple(mk_fresh() for _ in range(chains)),
+                    )
+                    for ch in range(chains):
+                        cand = chs[ch]
+                        upd = cand[0] < best
+                        best = jnp.where(upd, cand[0], best)
+                        btex = jnp.where(upd, cand[1], btex)
+                        baxis = jnp.where(upd, cand[2], baxis)
+                        bsign = jnp.where(upd, cand[3], bsign)
+                        if diff:
+                            balb = jnp.where(upd, cand[4], balb)
+                            bidx = jnp.where(upd, cand[5], bidx)
 
             hitmask = best < (_MISS * 0.5)
             alive = alive * hitmask.astype(jnp.float32)
@@ -344,8 +396,9 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll",
-                              "batch_size")
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "sublanes", "unroll",
+                     "batch_size", "chains"),
 )
 def trace_deposits_wide_rng(
     aa_fields: jnp.ndarray,
@@ -357,6 +410,7 @@ def trace_deposits_wide_rng(
     batch_size: int,
     sublanes: int = 8,
     unroll: int = 4,
+    chains: int = 1,
 ):
     """trace_deposits_wide with the device PRNG: no uniforms tensor at all.
 
@@ -370,7 +424,8 @@ def trace_deposits_wide_rng(
     D = cfg.max_depth
     U = uniforms_per_photon(D)
 
-    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
+                          chains=chains)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     seed_arr = jnp.full((1, 1), seed, jnp.int32)
     N = aa_fields.shape[1]
@@ -404,7 +459,8 @@ def trace_deposits_wide_rng(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll")
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "sublanes", "unroll", "chains"),
 )
 def trace_deposits_wide(
     aa_fields: jnp.ndarray,
@@ -415,6 +471,7 @@ def trace_deposits_wide(
     group_counts,
     sublanes: int = 8,
     unroll: int = 4,
+    chains: int = 1,
 ):
     """Returns (texel ids [B*D] int32, colors [B*D, 3] f32) for one batch.
 
@@ -434,7 +491,8 @@ def trace_deposits_wide(
         .transpose(0, 3, 1, 2)
         .reshape(n_blocks * U * S, LANES)
     )
-    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll,
+                          chains=chains)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     N = aa_fields.shape[1]
     idx, col = pl.pallas_call(
@@ -470,7 +528,8 @@ def trace_deposits_wide(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "group_counts", "sublanes", "unroll")
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "sublanes", "unroll", "chains"),
 )
 def trace_deposits_wide_diff(
     aa_fields: jnp.ndarray,
@@ -482,6 +541,7 @@ def trace_deposits_wide_diff(
     group_counts,
     sublanes: int = 8,
     unroll: int = 4,
+    chains: int = 1,
 ):
     """Differentiable-path trace: per-rect albedo applied in-kernel.
 
@@ -502,7 +562,8 @@ def trace_deposits_wide_diff(
         .transpose(0, 3, 1, 2)
         .reshape(n_blocks * U * S, LANES)
     )
-    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
+                          chains=chains)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     N = aa_fields.shape[1]
     idx, col, ridx = pl.pallas_call(
