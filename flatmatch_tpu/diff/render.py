@@ -422,6 +422,156 @@ def make_diff_renderer_wide(
     return jax.jit(render)
 
 
+def make_diff_renderer_sharded_wide(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    aa,
+    mesh,
+    sublanes: int = 8,
+):
+    """make_diff_renderer_wide with photon DP over the `photons` mesh:
+    the production wide kernel forward AND its analytic replay backward
+    run shard-locally on each chip's photon slice; one lightmap psum per
+    emitter forward, one [N]+[E] cotangent psum per backward. Same
+    (batch, device) keying as every other sharded engine."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..engines.photon_pallas import emitter_vector
+    from ..engines.photon_pallas_wide import (
+        LANES, _splat, trace_deposits_wide_diff,
+    )
+
+    shard_map = jax.shard_map
+    n_dev = mesh.shape["photons"]
+    D = cfg.max_depth
+    S = int(sublanes)
+    TB = S * LANES
+    B = int(cfg.photons_per_batch)
+    quantum = TB * n_dev
+    if B % quantum:
+        B = ((B + quantum - 1) // quantum) * quantum
+    b_local = B // n_dev
+    nb_local = b_local // TB
+    U = uniforms_per_photon(cfg.max_depth)
+    schedule = _emitter_batches(np.asarray(emitters.counts), B)
+    key = jax.random.PRNGKey(cfg.seed)
+    perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)
+    N = int(perm.shape[0])
+    repl = P()
+
+    def emitter_slice(e):
+        return EmitterSlice(
+            pos=emitters.pos[e], wvec=emitters.wvec[e],
+            hvec=emitters.hvec[e], n=emitters.n[e],
+            color=emitters.color[e], is_window=emitters.is_window[e],
+        )
+
+    def em_vec_scaled(e, power):
+        return emitter_vector(emitter_slice(e)).at[:, 12:15].mul(power[e])
+
+    def local_batch(i, ax, base_batch):
+        k = jax.random.fold_in(key, base_batch + i)
+        k = jax.random.fold_in(k, ax)
+        return jax.random.uniform(k, (b_local, U), dtype=jnp.float32)
+
+    def local_n_valid(i, ax, n_batches, last_valid):
+        nv = jnp.where(
+            i == n_batches - 1, jnp.int32(last_valid), jnp.int32(B)
+        )
+        return jnp.clip(nv - ax * b_local, 0, b_local).astype(jnp.int32)
+
+    def forward_loop(albedo, power):
+        albedo_aa = albedo[perm]
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(repl, repl),
+            out_specs=repl, check_vma=False,
+        )
+        def run(albedo_aa, power):
+            ax = jax.lax.axis_index("photons")
+            lm = jnp.zeros((num_texels, 3), jnp.float32)
+            for e, base_batch, n_batches, last_valid in schedule:
+                ev = em_vec_scaled(e, power)
+
+                def body(i, lm, ev=ev, base_batch=base_batch,
+                         n_batches=n_batches, last_valid=last_valid):
+                    u = local_batch(i, ax, base_batch)
+                    idx, col, _ = trace_deposits_wide_diff(
+                        aa.fields, albedo_aa, ev, u,
+                        local_n_valid(i, ax, n_batches, last_valid),
+                        cfg, aa.group_counts, S,
+                    )
+                    return _splat(lm, idx, col, cfg)
+
+                lm = jax.lax.fori_loop(0, n_batches, body, lm)
+            return jax.lax.psum(lm, "photons")
+
+        return run(albedo_aa, power)
+
+    @jax.custom_vjp
+    def render(albedo, power):
+        return forward_loop(albedo, power)
+
+    def render_fwd(albedo, power):
+        return forward_loop(albedo, power), (albedo, power)
+
+    def render_bwd(res, g):
+        albedo, power = res
+        albedo_aa = albedo[perm]
+        safe = jnp.where(albedo_aa > 1e-12, albedo_aa, 1.0)
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(repl, repl, repl),
+            out_specs=(repl, repl), check_vma=False,
+        )
+        def run(albedo_aa, power, g):
+            ax = jax.lax.axis_index("photons")
+            da_slots = jnp.zeros((N,), jnp.float32)
+            d_power = jnp.zeros_like(power)
+            for e, base_batch, n_batches, last_valid in schedule:
+                ev = em_vec_scaled(e, power)
+
+                def body(i, carry, ev=ev, base_batch=base_batch,
+                         n_batches=n_batches, last_valid=last_valid):
+                    da, dpe = carry
+                    u = local_batch(i, ax, base_batch)
+                    idx, col, ridx = trace_deposits_wide_diff(
+                        aa.fields, albedo_aa, ev, u,
+                        local_n_valid(i, ax, n_batches, last_valid),
+                        cfg, aa.group_counts, S,
+                    )
+                    w = jnp.sum(g[idx] * col, axis=-1)
+                    w3 = w.reshape(nb_local, D, S * LANES)
+                    suf = jnp.cumsum(w3[:, ::-1, :], axis=1)[:, ::-1, :]
+                    contrib = jnp.where(ridx >= 0, suf.reshape(-1), 0.0)
+                    da = da + jax.ops.segment_sum(
+                        contrib, jnp.clip(ridx, 0, N - 1), num_segments=N
+                    )
+                    return da, dpe + w.sum()
+
+                da_slots, dpe = jax.lax.fori_loop(
+                    0, n_batches, body, (da_slots, jnp.float32(0.0))
+                )
+                d_power = d_power.at[e].add(
+                    jnp.where(power[e] != 0, dpe / power[e], 0.0)
+                )
+            # one tiny cotangent all-reduce per backward
+            return (
+                jax.lax.psum(da_slots, "photons"),
+                jax.lax.psum(d_power, "photons"),
+            )
+
+        da_slots, d_power = run(albedo_aa, power, g)
+        da_slots = jnp.where(albedo_aa > 1e-12, da_slots / safe, 0.0)
+        d_albedo = jnp.zeros_like(albedo).at[perm].add(da_slots)
+        return d_albedo, d_power
+
+    render.defvjp(render_fwd, render_bwd)
+    return jax.jit(render)
+
+
 def make_autodiff_oracle(
     rects: RectsDev,
     emitters: EmittersDev,

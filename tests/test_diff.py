@@ -133,6 +133,55 @@ def test_wide_diff_gradients_match_oracle(setup):
     assert np.abs(np.asarray(ga)).sum() > 0
 
 
+def test_sharded_wide_diff_matches_sharded_xla_diff(setup):
+    """The sharded wide-kernel diff renderer keys draws per (batch, device)
+    exactly like the sharded XLA diff renderer: same photons, so values
+    and gradients agree to float tolerance (interpret mode, 8-dev mesh)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import (
+        make_diff_renderer_sharded, make_diff_renderer_sharded_wide,
+    )
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.parallel.mesh import photon_mesh
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    cfg = dataclasses.replace(
+        CFG, splat="scatter", photons_per_batch=1024
+    )
+    mesh = photon_mesh()
+    albedo = albedo0 * 0.95
+    power = power0 * 1.2
+
+    xla = make_diff_renderer_sharded(
+        rects, emitters, scene.num_texels, cfg, mesh
+    )
+    gx_a, gx_p = jax.grad(
+        lambda a, p: jnp.sum(xla(a, p) * w), argnums=(0, 1)
+    )(albedo, power)
+    with pltpu.force_tpu_interpret_mode():
+        wide_r = make_diff_renderer_sharded_wide(
+            rects, emitters, scene.num_texels, cfg, aa, mesh, sublanes=1
+        )
+        lm_w = wide_r(albedo, power)
+        gw_a, gw_p = jax.grad(
+            lambda a, p: jnp.sum(wide_r(a, p) * w), argnums=(0, 1)
+        )(albedo, power)
+    lm_x = xla(albedo, power)
+    np.testing.assert_allclose(
+        np.asarray(lm_w), np.asarray(lm_x), rtol=2e-5, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_a), np.asarray(gx_a), rtol=1e-3, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_p), np.asarray(gx_p), rtol=1e-3
+    )
+
+
 def test_gradients_match_finite_differences(setup):
     scene, rects, emitters, albedo0, power0, w, render, oracle = setup
 
