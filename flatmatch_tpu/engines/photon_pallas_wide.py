@@ -44,7 +44,7 @@ from ..ops.aa_scene import (
 )
 from ..ops.device_scene import EmittersDev, RectsDev
 from ..ops.sampling import TWO_PI_REF
-from .photon import EmitterSlice, uniforms_per_photon
+from .photon import uniforms_per_photon
 from .photon_pallas import _build_base_cols, emitter_vector
 
 _MISS = 1e30
