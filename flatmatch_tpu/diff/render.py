@@ -290,7 +290,7 @@ def make_diff_renderer_wide(
     num_texels: int,
     cfg: PhotonConfig,
     aa,
-    sublanes: int = 8,
+    sublanes: int = 32,
 ):
     """Differentiable renderer on the PRODUCTION wide Pallas kernel.
 
@@ -319,8 +319,12 @@ def make_diff_renderer_wide(
 
     D = cfg.max_depth
     S = int(sublanes)
-    TB = S * LANES
     B = int(cfg.photons_per_batch)
+    # prefer shrinking the block height over growing the batch (growing
+    # would change the draw schedule vs the configured budget)
+    while S > 1 and B % (S * LANES):
+        S //= 2
+    TB = S * LANES
     if B % TB:
         B = ((B + TB - 1) // TB) * TB
     n_blocks = B // TB
@@ -429,7 +433,7 @@ def make_diff_renderer_sharded_wide(
     cfg: PhotonConfig,
     aa,
     mesh,
-    sublanes: int = 8,
+    sublanes: int = 32,
 ):
     """make_diff_renderer_wide with photon DP over the `photons` mesh:
     the production wide kernel forward AND its analytic replay backward
@@ -446,13 +450,15 @@ def make_diff_renderer_sharded_wide(
     shard_map = jax.shard_map
     n_dev = mesh.shape["photons"]
     D = cfg.max_depth
-    S = int(sublanes)
-    TB = S * LANES
     B = int(cfg.photons_per_batch)
-    quantum = TB * n_dev
+    quantum = LANES * n_dev
     if B % quantum:
         B = ((B + quantum - 1) // quantum) * quantum
     b_local = B // n_dev
+    S = int(sublanes)
+    while S > 1 and b_local % (S * LANES):
+        S //= 2
+    TB = S * LANES
     nb_local = b_local // TB
     U = uniforms_per_photon(cfg.max_depth)
     schedule = _emitter_batches(np.asarray(emitters.counts), B)
