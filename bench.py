@@ -49,6 +49,11 @@ if not SCENE_PNG.exists():
 TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 26))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
 SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
+# in-kernel counter-hash RNG (cfg.device_rng) — the production fast path
+# and the closest analog of the reference kernel's in-register LCG
+# (photonmap.cl:21-25); deterministic per seed schedule. Measured +0.4M
+# photons/s over the threefry-tensor path at the bench budget.
+DEVICE_RNG = os.environ.get("FLATMATCH_BENCH_RNG", "1") == "1"
 # gate the secondary engine benches (AO texel-rays/s, radiosity rays/s) —
 # on by default on TPU, skippable for quick photon-only runs
 BENCH_ALL = os.environ.get("FLATMATCH_BENCH_ALL", "1") == "1"
@@ -108,7 +113,10 @@ def main():
     probe = pack_emitters(scene, 1.0, (18, 18, 18), (16, 16, 18))
     total_area = float(np.asarray(probe.area).sum())
     spa = TARGET_PHOTONS / total_area
-    cfg = PhotonConfig(samples_per_area=spa, photons_per_batch=BATCH, seed=0)
+    cfg = PhotonConfig(
+        samples_per_area=spa, photons_per_batch=BATCH, seed=0,
+        device_rng=DEVICE_RNG,
+    )
     rects = pack_rects(scene.walls)
     emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)
     n_photons = int(np.asarray(emitters.counts).sum())

@@ -69,9 +69,12 @@ class PhotonConfig:
     # loop, global_illumination_cl.c:246-267)
     photons_per_batch: int = 1 << 17
     seed: int = 0
-    # Deposit splat for the Pallas engines: "fused" = Pallas one-hot MXU
-    # binning with VMEM-resident operands (fastest; colors quantize to bf16
-    # once, far below MC noise), "bucket" = XLA one-hot binning,
+    # Deposit splat for the Pallas engines: "inkernel" = the one-hot MXU
+    # binning runs INSIDE the wide trace kernel against a VMEM-resident
+    # accumulator (deposits never touch HBM; splat MXU work overlaps trace
+    # VPU work — fastest, wide engine only), "fused" = separate Pallas
+    # one-hot MXU binning pass (colors quantize to bf16 once, far below MC
+    # noise, same as inkernel), "bucket" = XLA one-hot binning,
     # "bucket_exact" = two-pass f32-precision binning, "scatter" = XLA
     # scatter-add (exact, slow — the XLA engine always uses this).
     splat: str = "fused"

@@ -62,7 +62,7 @@ def batch_seed(seed: int, global_batch):
 
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
-                 chains: int = 1):
+                 chains: int = 1, fuse_h: int = 0):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -77,7 +77,20 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
     reference kernel's in-register LCG (photonmap.cl:21-25, per-item seed
     :272-275). Removes U*4 bytes/photon of HBM traffic and the host-side
     re-tile. Stream differs from threefry, so parity vs the XLA engine is
-    statistical, not bitwise (like the reference CL-vs-native pair)."""
+    statistical, not bitwise (like the reference CL-vs-native pair).
+
+    `fuse_h > 0` builds the FUSED trace+splat variant: instead of streaming
+    the per-bounce deposits to HBM for a separate splat pass, the kernel
+    bins them into a VMEM-resident [fuse_h, 3*128] accumulator (texel t,
+    channel ch at acc[t//128, ch*128 + t%128]) revisited across the whole
+    grid. The binning is the same exact-one-hot MXU contraction as
+    ops/splat_pallas.fused_splat, but built entirely from the kernel's
+    native row layout (both one-hot operands keep the deposit axis on
+    LANES; the dot contracts lane-dim against lane-dim), so no transposes
+    and no deposit round-trip — and the MXU splat work of bounce d overlaps
+    the VPU trace work of bounce d+1 inside one instruction stream. This
+    is the TPU answer to the reference folding its racy `+=` deposit into
+    the trace kernel (photonmap.cl:256-258): same fusion, deterministic."""
     D = cfg.max_depth
     TB = S * LANES
     eps = np.float32(cfg.self_intersect_eps)
@@ -165,6 +178,21 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
         )
         alive = (gid < nvalid_ref[0, 0]).astype(jnp.float32)
+
+        if fuse_h:
+            # idx_ref IS the [fuse_h, 3*LANES] accumulator, revisited
+            # across the grid; one zero-init, read once, written once.
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                idx_ref[:] = jnp.zeros_like(idx_ref)
+
+            acc = idx_ref[:]
+            iota_h = jax.lax.broadcasted_iota(
+                jnp.int32, (fuse_h, LANES), 0
+            )
+            iota_j = jax.lax.broadcasted_iota(
+                jnp.int32, (LANES, LANES), 0
+            )
 
         for d in range(D):
             inv = (
@@ -362,12 +390,42 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             dirz = jnp.where(diffuse, ddz, mdz)
 
             # --- deposit --------------------------------------------------
-            idx_ref[pl.ds(d * S, S), :] = jnp.where(
-                alive > 0, btex, 0.0
-            ).astype(jnp.int32)
-            col_ref[pl.ds((3 * d) * S, S), :] = cr * alive
-            col_ref[pl.ds((3 * d + 1) * S, S), :] = cg * alive
-            col_ref[pl.ds((3 * d + 2) * S, S), :] = cb * alive
+            if fuse_h:
+                # in-kernel exact one-hot splat: per 128-deposit row, the
+                # one-hot of the texel's VMEM row (hi) contracts against
+                # the color-weighted one-hot of its lane (lo). Colors
+                # quantize to bf16 once (as in ops/splat_pallas); the
+                # one-hots are exact; accumulation is f32 on the MXU.
+                texi = jnp.where(alive > 0, btex, 0.0).astype(jnp.int32)
+                car = (cr * alive).astype(jnp.bfloat16)
+                cag = (cg * alive).astype(jnp.bfloat16)
+                cab = (cb * alive).astype(jnp.bfloat16)
+                for s in range(S):
+                    row = texi[s:s + 1, :]                      # [1, K]
+                    hi = jax.lax.shift_right_logical(row, 7)
+                    lo = jnp.bitwise_and(row, LANES - 1)
+                    ohT = (iota_h == hi).astype(jnp.bfloat16)   # [H, K]
+                    ohlo = (iota_j == lo).astype(jnp.bfloat16)  # [K, K]
+                    x2 = jnp.concatenate(
+                        [
+                            ohlo * car[s:s + 1, :],
+                            ohlo * cag[s:s + 1, :],
+                            ohlo * cab[s:s + 1, :],
+                        ],
+                        axis=0,
+                    )                                           # [3*K, K]
+                    acc = acc + jax.lax.dot_general(
+                        ohT, x2,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                idx_ref[pl.ds(d * S, S), :] = jnp.where(
+                    alive > 0, btex, 0.0
+                ).astype(jnp.int32)
+                col_ref[pl.ds((3 * d) * S, S), :] = cr * alive
+                col_ref[pl.ds((3 * d + 1) * S, S), :] = cg * alive
+                col_ref[pl.ds((3 * d + 2) * S, S), :] = cb * alive
             if diff:
                 # slot whose albedo multiplied into this (and all later)
                 # deposits; -1 at mirror bounces / dead photons
@@ -380,6 +438,9 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             py = py + diry * eps
             pz = pz + dirz * eps
 
+        if fuse_h:
+            idx_ref[:] = acc
+
     if diff:
         def kernel_diff(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
                         idx_ref, col_ref, ridx_ref):
@@ -387,6 +448,13 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  idx_ref, col_ref, ridx_ref)
 
         return kernel_diff
+
+    if fuse_h:
+        def kernel_fused(em_ref, nvalid_ref, scene_ref, u_ref, acc_ref):
+            body(em_ref, nvalid_ref, scene_ref, None, u_ref, acc_ref, None,
+                 None)
+
+        return kernel_fused
 
     def kernel(em_ref, nvalid_ref, scene_ref, u_ref, idx_ref, col_ref):
         body(em_ref, nvalid_ref, scene_ref, None, u_ref, idx_ref, col_ref,
@@ -527,6 +595,130 @@ def trace_deposits_wide(
     return idx_flat, col_flat
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _acc_h(num_texels: int) -> int:
+    """Fused-splat accumulator height: texel rows of 128, sublane-padded."""
+    return _round_up(_round_up(num_texels, LANES) // LANES, 8)
+
+
+def acc_to_lightmap(acc: jnp.ndarray, num_texels: int) -> jnp.ndarray:
+    """[H, 3*128] fused accumulator -> [num_texels, 3] lightmap
+    (acc[h, ch*128 + j] is texel h*128+j, channel ch — the
+    ops/splat_pallas layout)."""
+    H = acc.shape[0]
+    out = acc.reshape(H, 3, LANES).transpose(0, 2, 1).reshape(H * LANES, 3)
+    return out[:num_texels]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
+                     "unroll", "chains"),
+)
+def trace_splat_wide(
+    aa_fields: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    num_texels: int,
+    sublanes: int = 8,
+    unroll: int = 4,
+    chains: int = 1,
+):
+    """Fused trace+splat batch (cfg.splat == "inkernel"): returns the
+    [num_texels, 3] lightmap increment directly — the deposit stream never
+    leaves VMEM. Same draws and physics as trace_deposits_wide +
+    ops/splat_pallas.fused_splat; per-texel sums differ only by f32
+    accumulation order."""
+    B, U = uniforms.shape
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    H = _acc_h(num_texels)
+
+    u_wide = (
+        uniforms.reshape(n_blocks, S, LANES, U)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_blocks * U * S, LANES)
+    )
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll,
+                          chains=chains, fuse_h=H)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    N = aa_fields.shape[1]
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+    )(em_vec, nvalid_arr, aa_fields, u_wide)
+    return acc_to_lightmap(acc, num_texels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
+                     "unroll", "batch_size", "chains"),
+)
+def trace_splat_wide_rng(
+    aa_fields: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    seed,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    num_texels: int,
+    batch_size: int,
+    sublanes: int = 8,
+    unroll: int = 4,
+    chains: int = 1,
+):
+    """trace_splat_wide with the in-kernel counter-hash PRNG (cfg.device_rng):
+    neither uniforms nor deposits touch HBM — the only per-batch HBM traffic
+    is the final accumulator writeback."""
+    B = int(batch_size)
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+    U = uniforms_per_photon(D)
+    H = _acc_h(num_texels)
+
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
+                          chains=chains, fuse_h=H)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    seed_arr = jnp.full((1, 1), seed, jnp.int32)
+    N = aa_fields.shape[1]
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+    )(em_vec, nvalid_arr, aa_fields, seed_arr)
+    return acc_to_lightmap(acc, num_texels)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "sublanes", "unroll", "chains"),
@@ -660,6 +852,11 @@ def trace_batch_wide(
     lightmap, aa: AARectsDev, em_vec, uniforms, n_valid, cfg: PhotonConfig,
     sublanes: int = 8,
 ):
+    if cfg.splat == "inkernel":
+        return lightmap + trace_splat_wide(
+            aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts,
+            lightmap.shape[0], sublanes,
+        )
     idx, col = trace_deposits_wide(
         aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts, sublanes
     )
@@ -668,12 +865,13 @@ def trace_batch_wide(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "batch_size", "group_counts", "sublanes"),
+    static_argnames=("cfg", "batch_size", "group_counts", "sublanes",
+                     "chains"),
 )
 def _trace_emitter_wide(
     lightmap, aa_fields, em_vec, key, base_batch, batch_offset, seg_len,
     emitter_n_batches, last_batch_valid, cfg: PhotonConfig, batch_size: int,
-    group_counts, sublanes: int,
+    group_counts, sublanes: int, chains: int = 1,
 ):
     """Trace batches [batch_offset, batch_offset+seg_len) of one emitter's
     schedule (segmenting serves the checkpoint loop, engines/schedule.py;
@@ -688,10 +886,27 @@ def _trace_emitter_wide(
             last_batch_valid,
             jnp.int32(batch_size),
         )
+        if cfg.splat == "inkernel":
+            if cfg.device_rng:
+                return lm + trace_splat_wide_rng(
+                    aa_fields, em_vec,
+                    batch_seed(cfg.seed, base_batch + abs_i), n_valid, cfg,
+                    group_counts, lm.shape[0], batch_size, sublanes,
+                    chains=chains,
+                )
+            k = jax.random.fold_in(key, base_batch + abs_i)
+            uniforms = jax.random.uniform(
+                k, (batch_size, U), dtype=jnp.float32
+            )
+            return lm + trace_splat_wide(
+                aa_fields, em_vec, uniforms, n_valid, cfg, group_counts,
+                lm.shape[0], sublanes, chains=chains,
+            )
         if cfg.device_rng:
             idx, col = trace_deposits_wide_rng(
                 aa_fields, em_vec, batch_seed(cfg.seed, base_batch + abs_i),
                 n_valid, cfg, group_counts, batch_size, sublanes,
+                chains=chains,
             )
         else:
             k = jax.random.fold_in(key, base_batch + abs_i)
@@ -700,7 +915,7 @@ def _trace_emitter_wide(
             )
             idx, col = trace_deposits_wide(
                 aa_fields, em_vec, uniforms, n_valid, cfg, group_counts,
-                sublanes,
+                sublanes, chains=chains,
             )
         return _splat(lm, idx, col, cfg)
 
@@ -710,11 +925,12 @@ def _trace_emitter_wide(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "batch_size", "group_counts", "sublanes",
-                     "schedule", "num_texels"),
+                     "schedule", "num_texels", "chains"),
 )
 def _render_all_wide(
     aa_fields, emitters: EmittersDev, key, cfg: PhotonConfig,
     batch_size: int, group_counts, sublanes: int, schedule, num_texels: int,
+    chains: int = 1,
 ):
     """The WHOLE emitter schedule as one device program (one dispatch).
 
@@ -736,10 +952,24 @@ def _render_all_wide(
                 i == n_batches - 1, jnp.int32(last_valid),
                 jnp.int32(batch_size),
             )
+            if cfg.splat == "inkernel":
+                if cfg.device_rng:
+                    return lm + trace_splat_wide_rng(
+                        aa_fields, ev, batch_seed(cfg.seed, base_batch + i),
+                        n_valid, cfg, group_counts, num_texels, batch_size,
+                        sublanes, chains=chains,
+                    )
+                k = jax.random.fold_in(key, base_batch + i)
+                u = jax.random.uniform(k, (batch_size, U), dtype=jnp.float32)
+                return lm + trace_splat_wide(
+                    aa_fields, ev, u, n_valid, cfg, group_counts,
+                    num_texels, sublanes, chains=chains,
+                )
             if cfg.device_rng:
                 idx, col = trace_deposits_wide_rng(
                     aa_fields, ev, batch_seed(cfg.seed, base_batch + i),
                     n_valid, cfg, group_counts, batch_size, sublanes,
+                    chains=chains,
                 )
             else:
                 k = jax.random.fold_in(key, base_batch + i)
@@ -747,7 +977,8 @@ def _render_all_wide(
                     k, (batch_size, U), dtype=jnp.float32
                 )
                 idx, col = trace_deposits_wide(
-                    aa_fields, ev, u, n_valid, cfg, group_counts, sublanes
+                    aa_fields, ev, u, n_valid, cfg, group_counts, sublanes,
+                    chains=chains,
                 )
             return _splat(lm, idx, col, cfg)
 
@@ -764,6 +995,7 @@ def render_photons(
     sublanes: int = None,
     checkpoint_path: str = None,
     every_batches: int = 64,
+    chains: int = 1,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA path (same per-emitter schedule and
     RNG keying as the other engines).
@@ -805,7 +1037,7 @@ def render_photons(
             base_batch += n_batches
         compact_lm = _render_all_wide(
             aa_c.fields, emitters, key, cfg, B, aa_c.group_counts,
-            sublanes, tuple(schedule), total_c,
+            sublanes, tuple(schedule), total_c, chains,
         )
         return expand(compact_lm)
 
@@ -813,6 +1045,7 @@ def render_photons(
         return _trace_emitter_wide(
             lm, aa_c.fields, emitter_vector(em), key, base_batch, off, seg,
             n_batches, last_valid, cfg, B, aa_c.group_counts, sublanes,
+            chains,
         )
 
     compact_lm = run_schedule(

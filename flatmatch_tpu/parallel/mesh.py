@@ -160,15 +160,32 @@ def _trace_emitter_sharded_wide(
             ).astype(jnp.int32)
             if cfg.device_rng:
                 from ..engines.photon_pallas_wide import (
-                    batch_seed, trace_deposits_wide_rng,
+                    batch_seed, trace_deposits_wide_rng, trace_splat_wide_rng,
                 )
 
                 seed = batch_seed(cfg.seed, base_batch + abs_i) + (
                     ax * jnp.int32(-1640531527)  # golden-ratio decorrelation
                 )
+                if cfg.splat == "inkernel":
+                    return lm + trace_splat_wide_rng(
+                        aa_fields, em_vec, seed, n_valid_local, cfg,
+                        group_counts, lm.shape[0], b_local, sublanes,
+                    )
                 idx, col = trace_deposits_wide_rng(
                     aa_fields, em_vec, seed, n_valid_local, cfg,
                     group_counts, b_local, sublanes,
+                )
+            elif cfg.splat == "inkernel":
+                from ..engines.photon_pallas_wide import trace_splat_wide
+
+                k = jax.random.fold_in(key, base_batch + abs_i)
+                k = jax.random.fold_in(k, ax)
+                uniforms = jax.random.uniform(
+                    k, (b_local, U), dtype=jnp.float32
+                )
+                return lm + trace_splat_wide(
+                    aa_fields, em_vec, uniforms, n_valid_local, cfg,
+                    group_counts, lm.shape[0], sublanes,
                 )
             else:
                 k = jax.random.fold_in(key, base_batch + abs_i)

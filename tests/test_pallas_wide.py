@@ -170,6 +170,69 @@ def test_wide_masks_invalid_photons(tiny):
     np.testing.assert_allclose(half.sum(), lm_xla_half.sum(), rtol=1e-4)
 
 
+def test_wide_inkernel_splat_matches_fused(tiny):
+    """The fused trace+splat kernel (cfg.splat='inkernel') bins the exact
+    same deposits as trace_deposits_wide + ops/splat_pallas.fused_splat:
+    identical one-hots, identical bf16 color quantization — only the f32
+    accumulation order differs, so agreement is ~1 ulp, and the device-RNG
+    variant must be deterministic."""
+    import dataclasses
+
+    from flatmatch_tpu.ops.splat_pallas import fused_splat
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B = 1024
+    U = photon.uniforms_per_photon(CFG.max_depth)
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(7), (B, U), dtype=np.float32
+    )
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0], wvec=emitters.wvec[0], hvec=emitters.hvec[0],
+        n=emitters.n[0], color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    ev = photon_pallas.emitter_vector(em)
+    with pltpu.force_tpu_interpret_mode():
+        idx, col = photon_pallas_wide.trace_deposits_wide(
+            aa.fields, ev, uniforms, B, CFG, aa.group_counts, sublanes=4
+        )
+        ref = np.asarray(fused_splat(idx, col, scene.num_texels))
+        got = np.asarray(
+            photon_pallas_wide.trace_splat_wide(
+                aa.fields, ev, uniforms, B, CFG, aa.group_counts,
+                scene.num_texels, sublanes=4,
+            )
+        )
+        # the production entry point routes through the same kernel
+        lm0 = jnp.zeros((scene.num_texels, 3), jnp.float32)
+        via_cfg = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B,
+                dataclasses.replace(CFG, splat="inkernel"), sublanes=4,
+            )
+        )
+        # device-RNG fused variant: deterministic per seed
+        r1 = np.asarray(
+            photon_pallas_wide.trace_splat_wide_rng(
+                aa.fields, ev, 123, B, CFG, aa.group_counts,
+                scene.num_texels, batch_size=B, sublanes=4,
+            )
+        )
+        r2 = np.asarray(
+            photon_pallas_wide.trace_splat_wide_rng(
+                aa.fields, ev, 123, B, CFG, aa.group_counts,
+                scene.num_texels, batch_size=B, sublanes=4,
+            )
+        )
+    assert got.sum() > 0
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(via_cfg, got)
+    np.testing.assert_array_equal(r1, r2)
+    assert r1.sum() > 0
+    np.testing.assert_allclose(r1.sum(), got.sum(), rtol=0.15)
+
+
 @pytest.mark.parametrize("splat,rtol", [("bucket", 6e-3), ("bucket_exact", 1e-4)])
 def test_wide_bucket_splat_modes(tiny, splat, rtol):
     """Bucket splat vs scatter on identical deposits: single-pass carries

@@ -96,6 +96,36 @@ def test_sharded_wide_matches_sharded_xla(tiny):
     np.testing.assert_allclose(wide, xla, rtol=2e-5, atol=2e-3)
 
 
+def test_sharded_wide_inkernel_matches_fused(tiny):
+    """The sharded fused trace+splat path (cfg.splat='inkernel') bins the
+    same deposits as the sharded separate fused-splat path — identical
+    draws, identical bf16 quantization, only f32 accumulation order
+    differs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.parallel.mesh import render_photons_sharded_wide
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    mesh = photon_mesh()
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            render_photons_sharded_wide(
+                rects, emitters, scene.num_texels,
+                dataclasses.replace(CFG, splat="fused"), aa, mesh,
+            )
+        )
+        got = np.asarray(
+            render_photons_sharded_wide(
+                rects, emitters, scene.num_texels,
+                dataclasses.replace(CFG, splat="inkernel"), aa, mesh,
+            )
+        )
+    assert got.sum() > 0
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_checkpoint_resume_bit_identical(tiny, tmp_path):
     """Sharded renders checkpoint/resume with the same bit-identity
     guarantee as single-device ones (fingerprint includes the mesh size)."""
