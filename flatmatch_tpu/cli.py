@@ -47,9 +47,10 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--splat",
-        choices=["fused", "bucket", "bucket_exact", "scatter"],
+        choices=["fused", "inkernel", "bucket", "bucket_exact", "scatter"],
         default=DEFAULT_CONFIG.photon.splat,
-        help="deposit splat strategy for the Pallas engines",
+        help="deposit splat strategy for the Pallas engines ('inkernel' "
+        "fuses the MXU binning into the wide trace kernel)",
     )
     p.add_argument(
         "--radiosity-rays",
@@ -132,7 +133,31 @@ def main(argv=None) -> int:
     p_pkg.add_argument("level", type=int)
     _add_engine_flags(p_pkg)
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="serve an assembled REST tree to the FlatMatch viewer "
+        "(the consumer of generate_flatmatch_entry.py:54-82's layout)",
+    )
+    p_srv.add_argument(
+        "root", nargs="?", default=".",
+        help="directory containing rest/ (the package --out dir)",
+    )
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .io.rest import make_rest_server
+        from .utils.progress import info
+
+        srv = make_rest_server(args.root, args.host, args.port)
+        info(f"serving {args.root}/rest on http://{args.host}:{srv.server_port}")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     cfg = _build_cfg(args)
 
     # must precede every other jax call (multihost.py NOTE)

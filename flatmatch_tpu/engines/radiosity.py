@@ -326,6 +326,15 @@ def render_radiosity_sharded(
         from ..ops.aa_scene import pack_aa
 
         aa = pack_aa(rects)
+        if aa is None:
+            from ..utils.progress import warn
+
+            warn(
+                "radiosity (sharded): scene is not axis-aligned (or texel "
+                "ids exceed 2^24); falling back to the per-chunk XLA "
+                "form-factor path — expect ~10x the wall-clock of the "
+                "fused AA pass"
+            )
 
     rho = f32(cfg.reflectance)
     rays_total = int(cfg.rays_per_texel)

@@ -100,3 +100,55 @@ def package_offer(
     }
     (rest / "textures" / str(offer_id)).write_text(json.dumps(textures))
     return out / "rest"
+
+
+def make_rest_server(root: str, host: str = "127.0.0.1", port: int = 0):
+    """HTTP server for an assembled REST tree (the service the reference's
+    folder layout is built FOR: the FlatMatch WebGL viewer fetches
+    `rest/get/{offer,layout,textures}/<id>`, generate_flatmatch_entry.py:54-82
+    and the worker fetch in /root/reference/main.js). Returns a configured
+    `ThreadingHTTPServer`; call `.serve_forever()` (or run it from a thread
+    in tests). `root` is the directory CONTAINING `rest/`."""
+    import http.server
+
+    base = pathlib.Path(root).resolve()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        CONTENT_TYPES = {
+            "offer": "application/json",
+            "textures": "application/json",
+            "layout": "image/png",
+        }
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if (
+                len(parts) != 4
+                or parts[0] != "rest"
+                or parts[1] != "get"
+                or parts[2] not in self.CONTENT_TYPES
+                or not parts[3].isdigit()  # ids are integers; no traversal
+            ):
+                self.send_error(404)
+                return
+            f = base / "rest" / "get" / parts[2] / parts[3]
+            if not f.is_file():
+                self.send_error(404)
+                return
+            body = f.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", self.CONTENT_TYPES[parts[2]])
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet: progress goes through our tracer
+            pass
+
+    import socketserver
+
+    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    return Server((host, port), Handler)

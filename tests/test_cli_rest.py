@@ -170,3 +170,46 @@ def test_rest_tree_byte_parity_with_reference_packager(tmp_path):
     assert json.loads((got / "textures" / "7").read_text()) == json.loads(
         (want / "textures" / "7").read_text()
     )
+
+
+def test_rest_server_round_trip(tmp_path):
+    """`cli serve` serves an assembled tree with viewer-correct content
+    types; ids are validated (no path traversal)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from flatmatch_tpu.io.rest import make_rest_server
+
+    rest = tmp_path / "rest" / "get"
+    for kind in ("offer", "layout", "textures"):
+        (rest / kind).mkdir(parents=True)
+    (rest / "offer" / "7").write_text('{"rowid": 7}')
+    png = (FIXTURES / "tiny.png").read_bytes()
+    (rest / "layout" / "7").write_bytes(png)
+    (rest / "textures" / "7").write_text('{"0": "QUJD"}')
+
+    srv = make_rest_server(str(tmp_path), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        r = urllib.request.urlopen(f"{base}/rest/get/offer/7")
+        assert r.headers["Content-Type"] == "application/json"
+        assert json.loads(r.read()) == {"rowid": 7}
+        r = urllib.request.urlopen(f"{base}/rest/get/layout/7")
+        assert r.headers["Content-Type"] == "image/png"
+        assert r.read() == png
+        r = urllib.request.urlopen(f"{base}/rest/get/textures/7")
+        assert json.loads(r.read()) == {"0": "QUJD"}
+        for bad in (
+            "/rest/get/offer/8",          # missing id
+            "/rest/get/offer/../offer/7",  # traversal
+            "/rest/get/secrets/7",         # unknown kind
+            "/rest/put/offer/7",
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(base + bad)
+            assert ei.value.code == 404
+    finally:
+        srv.shutdown()
