@@ -104,6 +104,47 @@ def bench_radiosity(scene):
     return rays / dt, dt
 
 
+def bench_diff(scene, rects, emitters, aa, spa, n_photons):
+    """Differentiable wide-path throughput: forward photons/s and
+    value_and_grad photons/s (forward + replay backward) on a reduced
+    budget (the rates are budget-independent past a few batches)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+
+    frac = max(1, n_photons // (1 << 23))
+    cfg = PhotonConfig(
+        samples_per_area=spa / frac, photons_per_batch=1 << 17, seed=0
+    )
+    ems = pack_emitters(scene, spa / frac, cfg.window_color, cfg.light_color)
+    n_small = int(np.asarray(ems.counts).sum())
+    render = make_diff_renderer_wide(
+        rects, ems, scene.num_texels, cfg, aa, sublanes=32
+    )
+    albedo0 = jnp.full((len(scene.walls),), cfg.albedo, jnp.float32)
+    power0 = jnp.ones((len(np.asarray(ems.counts)),), jnp.float32)
+
+    def loss(a, p):
+        return render(a, p).sum()
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    float(np.asarray(render(albedo0, power0)).sum())  # compile fwd
+    v, (ga, gp) = vg(albedo0, power0)                 # compile fwd+bwd
+    float(np.asarray(ga).sum())
+    t0 = time.perf_counter()
+    out = render(albedo0, power0)
+    float(np.asarray(out).sum())
+    fwd_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    v, (ga, gp) = vg(albedo0, power0)
+    e = float(np.asarray(ga).sum()) + float(np.asarray(gp).sum())
+    both_dt = time.perf_counter() - t0
+    assert np.isfinite(e)
+    return n_small / fwd_dt, n_small / both_dt
+
+
 def main():
     img = im.load_layout(str(SCENE_PNG))
     lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
@@ -170,6 +211,15 @@ def main():
             extras["radiosity_rays_per_texel"] = RADIOSITY_RAYS
         except Exception as e:
             extras["radiosity_error"] = repr(e)[:200]
+        if use_wide:
+            try:
+                fwd, both = bench_diff(
+                    scene, rects, emitters, aa, spa, n_photons
+                )
+                extras["diff_forward_photons_per_s"] = round(fwd, 1)
+                extras["diff_grad_photons_per_s"] = round(both, 1)
+            except Exception as e:
+                extras["diff_error"] = repr(e)[:200]
 
     print(
         json.dumps(

@@ -122,6 +122,13 @@ def main(argv=None) -> int:
         "scale", nargs="?", type=float, default=30.0, help="pixels per meter"
     )
     _add_engine_flags(p_render)
+    p_render.add_argument(
+        "--preview",
+        action="store_true",
+        help="photon engines: re-write tiles after every dispatch segment, "
+        "exposure-scaled by traced-so-far fraction (the browser port's "
+        "incremental lightmaps, worker.js:43-60)",
+    )
 
     p_pkg = sub.add_parser("package", help="render + assemble REST tree")
     p_pkg.add_argument("layout")
@@ -179,7 +186,7 @@ def main(argv=None) -> int:
         from .render import render
 
         render(args.layout, args.out, args.scale, cfg, mesh=mesh,
-               checkpoint_path=args.checkpoint)
+               checkpoint_path=args.checkpoint, preview=args.preview)
         return 0
     if args.cmd == "package":
         from .io.rest import package_offer

@@ -113,7 +113,10 @@ class RadiosityConfig:
 class RenderConfig:
     """Top-level configuration for a render run."""
 
-    engine: Engine = Engine.PHOTON_XLA    # reference hard-codes PHOTON_CL, main.c:29
+    # default = the fast device path, like the reference's hard-coded
+    # PHOTON_CL (main.c:29); off-TPU it falls back to the XLA engine with
+    # a warning (render.py:84-91), mirroring the reference's CPU build
+    engine: Engine = Engine.PHOTON_PALLAS
     scene: SceneConfig = dataclasses.field(default_factory=SceneConfig)
     photon: PhotonConfig = dataclasses.field(default_factory=PhotonConfig)
     ao: AoConfig = dataclasses.field(default_factory=AoConfig)

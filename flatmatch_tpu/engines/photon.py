@@ -199,6 +199,7 @@ def render_photons(
     cfg: PhotonConfig,
     checkpoint_path: str = None,
     every_batches: int = 64,
+    on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass: every window, then every light
     (global_illumination_cl.c:304-308). Returns the raw (un-normalized)
@@ -225,6 +226,7 @@ def render_photons(
         checkpoint_path=checkpoint_path,
         every_batches=every_batches,
         fingerprint_extra=("xla",),
+        on_segment=on_segment,
     )
 
 

@@ -996,6 +996,7 @@ def render_photons(
     checkpoint_path: str = None,
     every_batches: int = 64,
     chains: int = 1,
+    on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA path (same per-emitter schedule and
     RNG keying as the other engines).
@@ -1021,7 +1022,7 @@ def render_photons(
     key = jax.random.PRNGKey(cfg.seed)
     aa_c, total_c, expand = compact_aa(aa, num_texels)
 
-    if checkpoint_path is None:
+    if checkpoint_path is None and on_segment is None:
         # fast path: one device program for the whole schedule
         counts = np.asarray(emitters.counts)
         schedule = []
@@ -1048,6 +1049,11 @@ def render_photons(
             chains,
         )
 
+    seg_cb = None
+    if on_segment is not None:
+        def seg_cb(lm, done, total):
+            on_segment(expand(lm), done, total)
+
     compact_lm = run_schedule(
         trace_seg,
         emitters,
@@ -1057,5 +1063,6 @@ def render_photons(
         checkpoint_path=checkpoint_path,
         every_batches=every_batches,
         fingerprint_extra=("wide", "compact"),
+        on_segment=seg_cb,
     )
     return expand(compact_lm)

@@ -45,6 +45,7 @@ def run_schedule(
     every_batches: int = 64,
     fingerprint_extra=(),
     write_checkpoints: bool = True,
+    on_segment: Optional[Callable] = None,
 ):
     """Run the full emitter schedule, optionally checkpointed.
 
@@ -53,6 +54,11 @@ def run_schedule(
     render, nor an 8-device one a 4-device run). `write_checkpoints` is
     False on non-primary hosts: all hosts resume from the (shared-
     filesystem) checkpoint, only the primary writes it.
+
+    `on_segment(lightmap, photons_done, photons_total)` fires after every
+    completed segment — the incremental-result hook behind progressive
+    tile previews (the TPU analog of the reference browser port posting
+    each wall's lightmap as it completes, /root/reference/worker.js:43-60).
     Returns the raw (un-normalized) [num_texels, 3] lightmap.
     """
     import jax.numpy as jnp
@@ -80,7 +86,9 @@ def run_schedule(
                 f"batch {resume_b}"
             )
 
+    total_photons = int(counts.sum())
     base_batch = 0
+    done_before = 0  # photons of fully completed PRIOR emitters
     for e in range(len(counts)):
         n = int(counts[e])
         if n == 0:
@@ -89,6 +97,7 @@ def run_schedule(
         last_valid = n - (n_batches - 1) * B
         if e < resume_e:
             base_batch += n_batches
+            done_before += n
             continue
         em = emitter_slice(emitters, e)
         start = resume_b if e == resume_e else 0
@@ -113,5 +122,9 @@ def run_schedule(
                 ckpt.save(
                     checkpoint_path, np.asarray(lightmap), *cursor, fp
                 )
+            if on_segment is not None:
+                done = done_before + min((off + seg) * B, n)
+                on_segment(lightmap, done, total_photons)
         base_batch += n_batches
+        done_before += n
     return lightmap

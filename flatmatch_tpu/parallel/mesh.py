@@ -215,6 +215,7 @@ def render_photons_sharded_wide(
     sublanes: int = None,
     checkpoint_path: str = None,
     every_batches: int = 64,
+    on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA engine, sharded over all devices.
 
@@ -252,6 +253,11 @@ def render_photons_sharded_wide(
             mesh,
         )
 
+    seg_cb = None
+    if on_segment is not None:
+        def seg_cb(lm, done, total):
+            on_segment(expand(lm), done, total)
+
     compact_lm = run_schedule(
         trace_seg,
         emitters,
@@ -262,6 +268,7 @@ def render_photons_sharded_wide(
         every_batches=every_batches,
         fingerprint_extra=("wide-sharded", "compact", n_dev),
         write_checkpoints=multihost.is_primary(),
+        on_segment=seg_cb,
     )
     return expand(compact_lm)
 
@@ -376,6 +383,7 @@ def render_photons_sharded(
     mesh: Mesh = None,
     checkpoint_path: str = None,
     every_batches: int = 64,
+    on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass sharded over all devices (windows then lights,
     global_illumination_cl.c:304-308)."""
@@ -405,4 +413,5 @@ def render_photons_sharded(
         every_batches=every_batches,
         fingerprint_extra=("xla-sharded", n_dev),
         write_checkpoints=multihost.is_primary(),
+        on_segment=on_segment,
     )

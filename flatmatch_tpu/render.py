@@ -59,13 +59,18 @@ def _auto_mesh():
 def run_engine(
     scene: geometry.Scene, cfg: RenderConfig, mesh="auto",
     checkpoint_path: Optional[str] = None,
+    on_segment=None,
 ) -> np.ndarray:
     """Dispatch the configured illumination engine (main.c:60-66) and apply
     photon exposure normalization where the reference does (main.c:68-79).
 
     `mesh`: "auto" shards the photon engines over all visible devices when
     there is more than one; None forces single-device; an explicit
-    jax.sharding.Mesh pins the device set."""
+    jax.sharding.Mesh pins the device set.
+
+    `on_segment(raw_lightmap, photons_done, photons_total)`: photon engines
+    only — fires after every dispatch segment with the un-normalized
+    accumulator (progressive-preview hook, engines/schedule.py)."""
     if mesh == "auto":
         mesh = _auto_mesh()
     if cfg.engine in (Engine.PHOTON_XLA, Engine.PHOTON_PALLAS):
@@ -116,21 +121,21 @@ def run_engine(
                      f"{mesh.shape['photons']} devices")
                 lightmap = pmesh.render_photons_sharded_wide(
                     rects, emitters, scene.num_texels, cfg.photon, aa, mesh,
-                    checkpoint_path=checkpoint_path,
+                    checkpoint_path=checkpoint_path, on_segment=on_segment,
                 )
             else:
                 info(f"sharded XLA photon engine over "
                      f"{mesh.shape['photons']} devices")
                 lightmap = pmesh.render_photons_sharded(
                     rects, emitters, scene.num_texels, cfg.photon, mesh,
-                    checkpoint_path=checkpoint_path,
+                    checkpoint_path=checkpoint_path, on_segment=on_segment,
                 )
         elif use_pallas and aa is not None:
             from .engines import photon_pallas_wide
 
             lightmap = photon_pallas_wide.render_photons(
                 rects, emitters, scene.num_texels, cfg.photon, aa,
-                checkpoint_path=checkpoint_path,
+                checkpoint_path=checkpoint_path, on_segment=on_segment,
             )
         elif use_pallas:
             from .engines import photon_pallas
@@ -141,7 +146,7 @@ def run_engine(
         else:
             lightmap = photon.render_photons(
                 rects, emitters, scene.num_texels, cfg.photon,
-                checkpoint_path=checkpoint_path,
+                checkpoint_path=checkpoint_path, on_segment=on_segment,
             )
         scale = exposure_scale(
             scene, cfg.photon.samples_per_area, cfg.photon.exposure
@@ -197,12 +202,19 @@ def render(
     cfg: Optional[RenderConfig] = None,
     mesh="auto",
     checkpoint_path: Optional[str] = None,
+    preview: bool = False,
 ) -> RenderResult:
     """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`.
 
     Multi-host aware: every process compiles the scene and participates in
     the (sharded) engine collectives, but only the primary process writes
-    artifacts (collision/geometry JSON, tiles)."""
+    artifacts (collision/geometry JSON, tiles).
+
+    `preview=True` (photon engines): re-write the output tiles after every
+    dispatch segment, exposure-scaled by the traced-so-far fraction so
+    brightness is final from the first preview and noise converges — the
+    TPU analog of the reference browser port posting each wall's lightmap
+    incrementally (/root/reference/worker.js:43-60)."""
     from .parallel import multihost
 
     cfg = cfg or DEFAULT_CONFIG
@@ -225,8 +237,6 @@ def render(
             f"{len(lay.windows)} windows, {len(lay.lights)} lights"
         )
 
-    texels = run_engine(scene, cfg, mesh, checkpoint_path)
-
     # tintExtra for every mode except the CL-equivalent photon paths
     # (main.c:88-91)
     tint_extra = cfg.engine in (
@@ -234,6 +244,30 @@ def render(
         Engine.PHOTON_ORACLE,
         Engine.RADIOSITY,
     )
+
+    on_segment = None
+    photon_engine = cfg.engine in (Engine.PHOTON_XLA, Engine.PHOTON_PALLAS)
+    if preview and photon_engine and primary:
+        full_scale = exposure_scale(
+            scene, cfg.photon.samples_per_area, cfg.photon.exposure
+        )
+
+        def on_segment(raw_lm, done, total):
+            # scale the partial accumulator as if `done` were the full
+            # budget: correct brightness immediately, noise converges
+            part = np.asarray(raw_lm) * (
+                full_scale[:, None] * (total / max(done, 1))
+            )
+            tiles_io.save_tiles(
+                scene.walls, part, str(out / "tiles"), tint_extra
+            )
+            print(f"[INF] preview tiles at {done}/{total} photons")
+    elif preview and not photon_engine and primary:
+        from .utils.progress import warn
+
+        warn("--preview applies to the photon engines only; ignored")
+
+    texels = run_engine(scene, cfg, mesh, checkpoint_path, on_segment)
     tile_paths = []
     if primary:
         tile_paths = tiles_io.save_tiles(

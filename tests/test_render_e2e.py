@@ -64,3 +64,86 @@ def test_oracle_engine_end_to_end(tmp_path):
     )
     assert np.isfinite(res.texels).all()
     assert res.texels.sum() > 0
+
+
+def test_preview_progressive_tiles(tmp_path, monkeypatch):
+    """`preview=True` re-writes the tiles after every dispatch segment with
+    done-fraction exposure scaling, and the final result is bit-identical
+    to a plain run (segmentation never changes a photon)."""
+    import sys
+
+    import flatmatch_tpu.render  # noqa: F401  (package attr shadows module)
+
+    render_mod = sys.modules["flatmatch_tpu.render"]
+
+    cfg = _cfg(Engine.PHOTON_XLA)
+    # several segments: 1024-photon batches, 1 batch per segment
+    cfg = cfg.replace(
+        photon=dataclasses.replace(cfg.photon, samples_per_area=20000.0)
+    )
+    plain = render(str(FIXTURES / "tiny.png"), str(tmp_path / "a"), 30.0, cfg)
+
+    calls = []
+    real_save = tiles_io.save_tiles
+
+    def spy(walls, texels, out_dir, tint_extra):
+        calls.append(np.asarray(texels).sum())
+        return real_save(walls, texels, out_dir, tint_extra)
+
+    monkeypatch.setattr(render_mod.tiles_io, "save_tiles", spy)
+    prev = render(
+        str(FIXTURES / "tiny.png"), str(tmp_path / "b"), 30.0, cfg,
+        preview=True,
+    )
+    # preview segments fired (one per emitter segment; tiny has a single
+    # window emitter) plus the final write; energies finite and positive
+    assert len(calls) >= 2
+    assert all(np.isfinite(c) and c > 0 for c in calls)
+    np.testing.assert_array_equal(prev.texels, plain.texels)
+    # the last preview covers the full budget (done == total), so its
+    # scaled energy equals the final write's exactly
+    np.testing.assert_allclose(calls[-2], calls[-1], rtol=1e-6)
+
+
+def test_preview_wide_engine_interpret(tmp_path):
+    """preview=True forces the wide engine onto the segmented schedule
+    path (engines/photon_pallas_wide.render_photons on_segment); result is
+    bit-identical to the single-dispatch fast path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import photon_pallas_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+    from flatmatch_tpu.scene import geometry, image as im, layout
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(
+        img, np.float32(1.0) / np.float32(30.0), 200.0
+    )
+    scene = geometry.Scene(lay)
+    rects = pack_rects(scene.walls)
+    cfg = dataclasses.replace(
+        _cfg(Engine.PHOTON_PALLAS).photon,
+        samples_per_area=20000.0, photons_per_batch=1024, splat="scatter",
+    )
+    emitters = pack_emitters(
+        scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+    )
+    aa = pack_aa(scene.walls)
+    seen = []
+    with pltpu.force_tpu_interpret_mode():
+        fast = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, emitters, scene.num_texels, cfg, aa, sublanes=1
+            )
+        )
+        seg = np.asarray(
+            photon_pallas_wide.render_photons(
+                rects, emitters, scene.num_texels, cfg, aa, sublanes=1,
+                on_segment=lambda lm, d, t: seen.append((d, t)),
+            )
+        )
+    np.testing.assert_array_equal(fast, seg)
+    assert len(seen) >= 1
+    assert seen[-1][0] == seen[-1][1]  # last segment completes the budget
