@@ -46,7 +46,9 @@ SCENE_PNG = pathlib.Path("/root/reference/example.png")
 if not SCENE_PNG.exists():
     SCENE_PNG = REPO / "tests" / "fixtures" / "mini.png"
 
-TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 26))
+# 134M photons: ~4.5s of steady-state tracing, so fixed dispatch/readback
+# overhead (~0.1s through the tunnel) stays under 3% of the measurement
+TARGET_PHOTONS = int(os.environ.get("FLATMATCH_BENCH_PHOTONS", 1 << 27))
 BATCH = int(os.environ.get("FLATMATCH_BENCH_BATCH", 1 << 18))
 SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
 # in-kernel counter-hash RNG (cfg.device_rng) — the production fast path

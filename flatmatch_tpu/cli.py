@@ -42,8 +42,8 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         "--device-rng",
         action="store_true",
         default=DEFAULT_CONFIG.photon.device_rng,
-        help="wide Pallas engine: generate uniforms with the TPU hardware "
-        "PRNG in-kernel (photonmap.cl:21-25 analog; fastest)",
+        help="wide Pallas engine: generate uniforms in-kernel with a "
+        "counter-hash PRNG (photonmap.cl:21-25 analog; fastest)",
     )
     p.add_argument(
         "--splat",

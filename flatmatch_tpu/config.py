@@ -78,9 +78,11 @@ class PhotonConfig:
     # "bucket_exact" = two-pass f32-precision binning, "scatter" = XLA
     # scatter-add (exact, slow — the XLA engine always uses this).
     splat: str = "fused"
-    # Wide-Pallas engine only: generate uniforms with the TPU hardware PRNG
-    # inside the kernel (the analog of the reference kernel's in-register
-    # LCG, photonmap.cl:21-25) instead of a precomputed threefry tensor.
+    # Wide-Pallas engine only: generate uniforms inside the kernel with a
+    # murmur3-fmix32 counter hash over (photon id, draw, batch seed) — the
+    # analog of the reference kernel's in-register LCG (photonmap.cl:21-25)
+    # — instead of a precomputed threefry tensor. (Not the pltpu hardware
+    # PRNG: that returns zeros under interpret mode, so it can't be gated.)
     # Deterministic per (seed, batch, device); parity vs the other engines
     # becomes statistical, like the reference's CL-vs-native pair.
     device_rng: bool = False

@@ -39,7 +39,8 @@ import numpy as np
 
 from ..config import PhotonConfig
 from ..ops.device_scene import EmittersDev, RectsDev
-from ..engines.photon import EmitterSlice, trace_batch, uniforms_per_photon
+from ..engines import schedule as schedule_mod
+from ..engines.photon import trace_batch, uniforms_per_photon
 
 
 def _emitter_batches(counts, batch_size):
@@ -72,14 +73,7 @@ def make_diff_renderer(
     key = jax.random.PRNGKey(cfg.seed)
 
     def emitter_slice(e):
-        return EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
-        )
+        return schedule_mod.emitter_slice(emitters, e)
 
     def batch_uniforms(batch_idx):
         k = jax.random.fold_in(key, batch_idx)
@@ -185,14 +179,7 @@ def make_diff_renderer_sharded(
     repl = P()
 
     def emitter_slice(e):
-        return EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
-        )
+        return schedule_mod.emitter_slice(emitters, e)
 
     def local_uniforms(batch_idx, ax):
         k = jax.random.fold_in(key, batch_idx)
@@ -335,14 +322,7 @@ def make_diff_renderer_wide(
     N = int(perm.shape[0])
 
     def emitter_slice(e):
-        return EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
-        )
+        return schedule_mod.emitter_slice(emitters, e)
 
     def em_vec_scaled(e, power):
         v = emitter_vector(emitter_slice(e))
@@ -468,11 +448,7 @@ def make_diff_renderer_sharded_wide(
     repl = P()
 
     def emitter_slice(e):
-        return EmitterSlice(
-            pos=emitters.pos[e], wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e], n=emitters.n[e],
-            color=emitters.color[e], is_window=emitters.is_window[e],
-        )
+        return schedule_mod.emitter_slice(emitters, e)
 
     def em_vec_scaled(e, power):
         return emitter_vector(emitter_slice(e)).at[:, 12:15].mul(power[e])
@@ -594,14 +570,7 @@ def make_autodiff_oracle(
     def render(albedo, power):
         lm = jnp.zeros((num_texels, 3), jnp.float32)
         for e, base_batch, n_batches, last_valid in schedule:
-            em = EmitterSlice(
-                pos=emitters.pos[e],
-                wvec=emitters.wvec[e],
-                hvec=emitters.hvec[e],
-                n=emitters.n[e],
-                color=emitters.color[e],
-                is_window=emitters.is_window[e],
-            )
+            em = schedule_mod.emitter_slice(emitters, e)
 
             def step(lm, i, em=em, e=e, n_batches=n_batches,
                      last_valid=last_valid, base_batch=base_batch):

@@ -359,8 +359,8 @@ def trace_batch_pallas(
     jax.jit, static_argnames=("cfg", "batch_size", "block_photons")
 )
 def _trace_emitter_pallas(
-    lightmap, sceneT, em_vec, key, base_batch, n_batches,
-    last_batch_valid, cfg: PhotonConfig, batch_size: int,
+    lightmap, sceneT, em_vec, key, base_batch, batch_offset, seg_len,
+    n_batches, last_batch_valid, cfg: PhotonConfig, batch_size: int,
     block_photons: int,
 ):
     U = uniforms_per_photon(cfg.max_depth)
@@ -375,7 +375,8 @@ def _trace_emitter_pallas(
             lm, sceneT, em_vec, uniforms, n_valid, cfg, block_photons,
         )
 
-    return jax.lax.fori_loop(0, n_batches, body, lightmap)
+    return jax.lax.fori_loop(batch_offset, batch_offset + seg_len, body,
+                             lightmap)
 
 
 def render_photons(
@@ -384,40 +385,28 @@ def render_photons(
     num_texels: int,
     cfg: PhotonConfig,
     block_photons: int = 512,
+    checkpoint_path=None,
+    on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass on the Pallas path (same RNG schedule as the XLA
-    engine: fold_in(seed, global_batch_index))."""
+    engine: fold_in(seed, global_batch_index)). Driven by the shared
+    emitter schedule, so --checkpoint / --preview work identically to the
+    XLA and wide engines (engines/schedule.py)."""
+    from .schedule import run_schedule
+
     sceneT = scene_matrix(rects)
-    lightmap = jnp.zeros((num_texels, 3), jnp.float32)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(cfg.photons_per_batch)
-    counts = np.asarray(emitters.counts)
-    base_batch = 0
-    for e in range(len(counts)):
-        n = int(counts[e])
-        if n == 0:
-            continue
-        n_batches = (n + B - 1) // B
-        last_valid = n - (n_batches - 1) * B
-        em = EmitterSlice(
-            pos=emitters.pos[e],
-            wvec=emitters.wvec[e],
-            hvec=emitters.hvec[e],
-            n=emitters.n[e],
-            color=emitters.color[e],
-            is_window=emitters.is_window[e],
+
+    def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
+        return _trace_emitter_pallas(
+            lm, sceneT, emitter_vector(em), key, base_batch, off, seg,
+            n_batches, last_valid, cfg, B, block_photons,
         )
-        lightmap = _trace_emitter_pallas(
-            lightmap,
-            sceneT,
-            emitter_vector(em),
-            key,
-            jnp.int32(base_batch),
-            jnp.int32(n_batches),
-            jnp.int32(last_valid),
-            cfg,
-            B,
-            block_photons,
-        )
-        base_batch += n_batches
-    return lightmap
+
+    return run_schedule(
+        trace_seg, emitters, num_texels, cfg, B,
+        checkpoint_path=checkpoint_path,
+        fingerprint_extra=("pallas_narrow",),
+        on_segment=on_segment,
+    )

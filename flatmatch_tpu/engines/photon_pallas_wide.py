@@ -60,6 +60,24 @@ def batch_seed(seed: int, global_batch):
     )
 
 
+def device_seed(seed, ax):
+    """Decorrelate a batch seed per mesh device with a full avalanche
+    (murmur3 fmix32). An ADDITIVE offset is NOT safe here: the kernel's
+    counter hash starts from `rgid * C + seed`, so any `seed + ax*C`
+    scheme makes device ax's photon g draw the exact uniforms of device
+    0's photon g+ax (the streams overlap almost entirely). Mixing ax
+    through the finalizer destroys that additive structure; residual
+    overlap probability is ~b_local/2^32 per device pair."""
+    x = jnp.asarray(seed, jnp.int32) + (
+        jnp.asarray(ax, jnp.int32) + jnp.int32(1)
+    ) * jnp.int32(-2048144789)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)   # 0x85ebca6b
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
+    return x ^ jax.lax.shift_right_logical(x, 16)
+
+
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
                  chains: int = 1, fuse_h: int = 0):
@@ -942,47 +960,68 @@ def _render_all_wide(
     from .schedule import emitter_slice
 
     U = uniforms_per_photon(cfg.max_depth)
+    TB = sublanes * LANES
     lightmap = jnp.zeros((num_texels, 3), jnp.float32)
+
+    def one_batch(lm, ev, i, n_valid, bsz):
+        """Trace+splat batch `i` (absolute index) at physical size `bsz`."""
+        if cfg.splat == "inkernel":
+            if cfg.device_rng:
+                return lm + trace_splat_wide_rng(
+                    aa_fields, ev, batch_seed(cfg.seed, i),
+                    n_valid, cfg, group_counts, num_texels, bsz,
+                    sublanes, chains=chains,
+                )
+            k = jax.random.fold_in(key, i)
+            u = jax.random.uniform(k, (bsz, U), dtype=jnp.float32)
+            return lm + trace_splat_wide(
+                aa_fields, ev, u, n_valid, cfg, group_counts,
+                num_texels, sublanes, chains=chains,
+            )
+        if cfg.device_rng:
+            idx, col = trace_deposits_wide_rng(
+                aa_fields, ev, batch_seed(cfg.seed, i),
+                n_valid, cfg, group_counts, bsz, sublanes,
+                chains=chains,
+            )
+        else:
+            k = jax.random.fold_in(key, i)
+            u = jax.random.uniform(k, (bsz, U), dtype=jnp.float32)
+            idx, col = trace_deposits_wide(
+                aa_fields, ev, u, n_valid, cfg, group_counts, sublanes,
+                chains=chains,
+            )
+        return _splat(lm, idx, col, cfg)
+
     for e, base_batch, n_batches, last_valid in schedule:
         ev = emitter_vector(emitter_slice(emitters, e))
 
-        def body(i, lm, ev=ev, base_batch=base_batch,
-                 n_batches=n_batches, last_valid=last_valid):
-            n_valid = jnp.where(
-                i == n_batches - 1, jnp.int32(last_valid),
-                jnp.int32(batch_size),
-            )
-            if cfg.splat == "inkernel":
-                if cfg.device_rng:
-                    return lm + trace_splat_wide_rng(
-                        aa_fields, ev, batch_seed(cfg.seed, base_batch + i),
-                        n_valid, cfg, group_counts, num_texels, batch_size,
-                        sublanes, chains=chains,
-                    )
-                k = jax.random.fold_in(key, base_batch + i)
-                u = jax.random.uniform(k, (batch_size, U), dtype=jnp.float32)
-                return lm + trace_splat_wide(
-                    aa_fields, ev, u, n_valid, cfg, group_counts,
-                    num_texels, sublanes, chains=chains,
-                )
-            if cfg.device_rng:
-                idx, col = trace_deposits_wide_rng(
-                    aa_fields, ev, batch_seed(cfg.seed, base_batch + i),
-                    n_valid, cfg, group_counts, batch_size, sublanes,
-                    chains=chains,
-                )
-            else:
-                k = jax.random.fold_in(key, base_batch + i)
-                u = jax.random.uniform(
-                    k, (batch_size, U), dtype=jnp.float32
-                )
-                idx, col = trace_deposits_wide(
-                    aa_fields, ev, u, n_valid, cfg, group_counts, sublanes,
-                    chains=chains,
-                )
-            return _splat(lm, idx, col, cfg)
+        def body(i, lm, ev=ev, base_batch=base_batch):
+            return one_batch(lm, ev, base_batch + i, jnp.int32(batch_size),
+                             batch_size)
 
-        lightmap = jax.lax.fori_loop(0, n_batches, body, lightmap)
+        # all-but-last batches are full; the tail batch is peeled out of
+        # the loop and, on the device-RNG path, launched on a SHRUNK grid:
+        # the kernel's counters depend only on (seed, batch index, block
+        # id), so dropping the all-masked trailing blocks is bit-identical
+        # (dead rows deposit exact +0.0) while skipping their trace AND
+        # splat cost — on average half a batch per emitter. Power-of-two
+        # block counts bound the number of extra kernel variants compiled
+        # to log2(batch/TB). The threefry path keeps the full batch: its
+        # uniforms tensor shape feeds the draws, so shrinking would change
+        # the photons.
+        lightmap = jax.lax.fori_loop(0, n_batches - 1, body, lightmap)
+        b_tail = batch_size
+        if cfg.device_rng and last_valid < batch_size:
+            blocks = -(-last_valid // TB)
+            p2 = 1
+            while p2 < blocks:
+                p2 *= 2
+            b_tail = min(batch_size, p2 * TB)
+        lightmap = one_batch(
+            lightmap, ev, base_batch + n_batches - 1,
+            jnp.int32(last_valid), b_tail,
+        )
     return lightmap
 
 

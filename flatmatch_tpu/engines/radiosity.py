@@ -358,17 +358,23 @@ def render_radiosity_sharded(
     repl = P()
     by_rays = P(None, "photons")
 
+    # Pass the schedule arrays as ARGUMENTS (replicated) rather than
+    # closing over them: closed-over arrays become XLA constants baked into
+    # the executable — duplicated HBM and a fresh compile per scene, which
+    # matters where compiles already take minutes. Mirrors the argument
+    # form of the single-device _form_factors_aa_all.
     @ft.partial(
-        shard_map, mesh=mesh, in_specs=(), out_specs=by_rays,
+        shard_map, mesh=mesh, in_specs=(repl,) * 7, out_specs=by_rays,
         check_vma=False,
     )
-    def build_table():
+    def build_table(scene_arg, centers_all, normals, starts, wis, cis,
+                    level0_j):
         ax = jax.lax.axis_index("photons")
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), ax)
         ids = jnp.full((rows_pad, rays_local), -1, jnp.int32)
         if aa is not None:
             ids = _form_factors_aa_all(
-                ids, aa.fields, centers_all, normals, starts, wis, cis,
+                ids, scene_arg, centers_all, normals, starts, wis, cis,
                 key, rays_local, tuple(aa.group_counts),
             )
         else:
@@ -379,7 +385,7 @@ def render_radiosity_sharded(
                     jax.random.fold_in(key, wis[c]), cis[c]
                 )
                 chunk_ids = _form_factor_chunk(
-                    rects_dev, centers_all[c], normals[c], k, rays_local
+                    scene_arg, centers_all[c], normals[c], k, rays_local
                 )
                 return jax.lax.dynamic_update_slice(
                     ids, chunk_ids, (starts[c], 0)
@@ -388,7 +394,11 @@ def render_radiosity_sharded(
             ids = jax.lax.fori_loop(0, C, body, ids)
         return jnp.where(level0_j[:, None], ids, -1)
 
-    ids_sharded = jax.jit(build_table)()
+    ids_sharded = jax.jit(build_table)(
+        aa.fields if aa is not None else rects_dev,
+        jnp.asarray(centers_all), jnp.asarray(normals),
+        jnp.asarray(starts), jnp.asarray(wis), jnp.asarray(cis), level0_j,
+    )
 
     num_texels = scene.num_texels
 

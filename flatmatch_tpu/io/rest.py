@@ -146,9 +146,4 @@ def make_rest_server(root: str, host: str = "127.0.0.1", port: int = 0):
         def log_message(self, *a):  # quiet: progress goes through our tracer
             pass
 
-    import socketserver
-
-    class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
-        daemon_threads = True
-
-    return Server((host, port), Handler)
+    return http.server.ThreadingHTTPServer((host, port), Handler)

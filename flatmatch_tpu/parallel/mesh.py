@@ -160,12 +160,14 @@ def _trace_emitter_sharded_wide(
             ).astype(jnp.int32)
             if cfg.device_rng:
                 from ..engines.photon_pallas_wide import (
-                    batch_seed, trace_deposits_wide_rng, trace_splat_wide_rng,
+                    batch_seed, device_seed, trace_deposits_wide_rng,
+                    trace_splat_wide_rng,
                 )
 
-                seed = batch_seed(cfg.seed, base_batch + abs_i) + (
-                    ax * jnp.int32(-1640531527)  # golden-ratio decorrelation
-                )
+                # avalanche-mixed per-device seed: an additive offset would
+                # cancel against the kernel's rgid*C counter term and make
+                # the device streams shifted copies (see device_seed)
+                seed = device_seed(batch_seed(cfg.seed, base_batch + abs_i), ax)
                 if cfg.splat == "inkernel":
                     return lm + trace_splat_wide_rng(
                         aa_fields, em_vec, seed, n_valid_local, cfg,

@@ -93,8 +93,11 @@ def initialize(
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         msg = str(e).lower()
-        if "already initialized" in msg:
-            # auto-init by the runtime (or a second initialize() call path)
+        if "already initialized" in msg or "only be called once" in msg:
+            # auto-init by the runtime (or a second initialize() call
+            # path). jax 0.9's double-init text is "distributed.initialize
+            # should only be called once."; older versions said "already
+            # initialized" — match both.
             _initialized = True
             info(f"distributed runtime already up ({e})")
             return

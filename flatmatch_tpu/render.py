@@ -141,7 +141,8 @@ def run_engine(
             from .engines import photon_pallas
 
             lightmap = photon_pallas.render_photons(
-                rects, emitters, scene.num_texels, cfg.photon
+                rects, emitters, scene.num_texels, cfg.photon,
+                checkpoint_path=checkpoint_path, on_segment=on_segment,
             )
         else:
             lightmap = photon.render_photons(

@@ -27,6 +27,13 @@ import numpy as np
 from ..config import PhotonConfig
 
 
+# Bumped whenever the fingerprint payload schema (not the render config)
+# changes. A checkpoint from a different schema version can't be validated
+# at all, so load() restarts gracefully instead of claiming the CONFIG
+# changed when it was the code that did.
+FINGERPRINT_VERSION = 2
+
+
 def config_fingerprint(
     cfg: PhotonConfig, num_texels: int, counts, extra=()
 ) -> str:
@@ -63,6 +70,7 @@ def save(
         fingerprint=np.frombuffer(
             fingerprint.encode("ascii"), dtype=np.uint8
         ),
+        fp_version=np.int64(FINGERPRINT_VERSION),
     )
     os.replace(tmp, p)
 
@@ -72,12 +80,25 @@ def load(
 ) -> Optional[Tuple[np.ndarray, int, int]]:
     """Returns (lightmap, emitter_index, batch_index) or None if absent.
 
-    Raises ValueError on a fingerprint mismatch (wrong scene/config/seed).
+    Raises ValueError on a same-version fingerprint mismatch (wrong
+    scene/config/seed). A checkpoint written under a DIFFERENT fingerprint
+    schema version cannot be validated at all — the run restarts from
+    scratch with a warning instead of a misleading "config changed" error.
     """
     p = pathlib.Path(path)
     if not p.exists():
         return None
     with np.load(p) as z:
+        version = int(z["fp_version"]) if "fp_version" in z else 1
+        if version != FINGERPRINT_VERSION:
+            from .progress import warn
+
+            warn(
+                f"checkpoint {path} was written by an incompatible engine "
+                f"version (fingerprint schema v{version}, this build is "
+                f"v{FINGERPRINT_VERSION}); restarting from scratch"
+            )
+            return None
         found = z["fingerprint"].tobytes().decode("ascii")
         if found != fingerprint:
             raise ValueError(

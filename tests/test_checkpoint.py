@@ -152,6 +152,55 @@ def test_wide_engine_kill_resume_bit_identical(mini, tmp_path, monkeypatch):
     np.testing.assert_array_equal(straight, resumed)
 
 
+def test_narrow_engine_checkpoint_bit_identical(mini, tmp_path):
+    """The narrow (general) Pallas engine is schedule-driven too: a
+    checkpointed run matches a straight run bit-for-bit, so --checkpoint
+    is honored on non-axis-aligned scenes that fall back to it."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import photon_pallas
+
+    scene, rects, emitters = mini
+    cfg = dataclasses.replace(CFG, samples_per_area=2000.0)
+    ems = pack_emitters(
+        scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+    )
+    path = str(tmp_path / "narrow.npz")
+    with pltpu.force_tpu_interpret_mode():
+        straight = np.asarray(
+            photon_pallas.render_photons(
+                rects, ems, scene.num_texels, cfg, block_photons=256
+            )
+        )
+        checkpointed = np.asarray(
+            photon_pallas.render_photons(
+                rects, ems, scene.num_texels, cfg, block_photons=256,
+                checkpoint_path=path,
+            )
+        )
+    np.testing.assert_array_equal(straight, checkpointed)
+    assert (tmp_path / "narrow.npz").exists()
+
+
+def test_fingerprint_schema_version_restarts(mini, tmp_path):
+    """A checkpoint from a different fingerprint SCHEMA version restarts
+    gracefully (None) instead of raising a misleading config-mismatch
+    error."""
+    scene, rects, emitters = mini
+    path = str(tmp_path / "old.npz")
+    counts = np.asarray(emitters.counts)
+    fp = ckpt.config_fingerprint(CFG, scene.num_texels, counts)
+    ckpt.save(path, np.zeros((scene.num_texels, 3), np.float32), 0, 1, fp)
+    # rewrite with a stale schema version marker
+    with np.load(path) as z:
+        data = dict(z)
+    data["fp_version"] = np.int64(ckpt.FINGERPRINT_VERSION - 1)
+    np.savez_compressed(path, **data)
+    assert ckpt.load(path, fp) is None
+
+
 def test_fingerprint_mismatch_refuses(mini, tmp_path):
     scene, rects, emitters = mini
     path = str(tmp_path / "ck.npz")

@@ -266,3 +266,94 @@ def test_wide_bucket_splat_modes(tiny, splat, rtol):
             )
         )
     np.testing.assert_allclose(got, ref, rtol=rtol, atol=rtol * 10)
+
+
+def test_tail_shrink_bit_identical(tiny):
+    """The whole-schedule fast path peels each emitter's tail batch and
+    launches it on a shrunk grid (device-RNG path): counters depend only on
+    (seed, batch, block), so dropping all-masked trailing blocks must be
+    bit-identical to the segmented full-batch path."""
+    import dataclasses
+
+    scene, rects, emitters = tiny
+    cfg = dataclasses.replace(
+        CFG, photons_per_batch=1024, device_rng=True, samples_per_area=3000.0
+    )
+    em = pack_emitters(
+        scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+    )
+    aa = pack_aa(scene.walls)
+    with pltpu.force_tpu_interpret_mode():
+        fast = photon_pallas_wide.render_photons(
+            rects, em, scene.num_texels, cfg, aa, sublanes=2
+        )
+        slow = photon_pallas_wide.render_photons(
+            rects, em, scene.num_texels, cfg, aa, sublanes=2,
+            on_segment=lambda lm, d, t: None,  # forces the segmented path
+        )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_device_rng_sharded_decorrelation(tiny):
+    """Per-device RNG seeds must be avalanche-mixed: the kernel's counter
+    hash starts from rgid*C + seed, so the old additive seed + ax*C scheme
+    made device ax's photon g draw the EXACT uniforms of device 0's photon
+    g+ax (shifted-copy streams, no variance reduction from the mesh).
+    device_seed destroys that structure."""
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B, S = 512, 4  # one kernel block: photon g at (s, l) = (g//128, g%128)
+    C = -1640531527
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0], wvec=emitters.wvec[0], hvec=emitters.hvec[0],
+        n=emitters.n[0], color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    ev = photon_pallas.emitter_vector(em)
+    base = photon_pallas_wide.batch_seed(CFG.seed, 0)
+
+    def photon_major(idx, col):
+        # deposit streams -> [B, D, 4] rows of (texel id, r, g, b) keyed by
+        # photon id. Colors alone are NOT discriminating (they take a small
+        # discrete set of values — start color x albedo^k x tint — so
+        # independent photons with the same bounce-type history collide);
+        # the texel id is position-dependent and breaks those ties.
+        D = CFG.max_depth
+        col = (
+            np.asarray(col)
+            .reshape(1, D, S * 128, 3)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, D, 3)
+        )
+        idx = (
+            np.asarray(idx).reshape(1, D, S * 128).transpose(0, 2, 1)
+            .reshape(B, D, 1)
+        )
+        return np.concatenate([idx.astype(np.float64), col], axis=2)
+
+    def run(seed):
+        idx, col = photon_pallas_wide.trace_deposits_wide_rng(
+            aa.fields, ev, seed, B, CFG, aa.group_counts, B, sublanes=S
+        )
+        return photon_major(idx, col)
+
+    with pltpu.force_tpu_interpret_mode():
+        # OLD scheme: additive ax*C offsets -> exact shifted copies
+        a_old = run(base)
+        b_old = run(base + np.int32(C))
+        # NEW scheme
+        a_new = run(photon_pallas_wide.device_seed(base, 0))
+        b_new = run(photon_pallas_wide.device_seed(base, 1))
+
+    # the old scheme's device-1 photon g IS device-0 photon g+1
+    np.testing.assert_array_equal(b_old[:-1], a_old[1:])
+    # the fix: essentially no photon of device 1 replays any device-0
+    # photon at any small shift
+    for shift in range(4):
+        a = a_new[shift:] if shift else a_new
+        b = b_new[: B - shift]
+        # dead photons deposit all-zero rows in both streams; only a live
+        # photon replaying a live photon indicates correlation
+        live = np.any(a != 0, axis=(1, 2)) & np.any(b != 0, axis=(1, 2))
+        same = np.all(a == b, axis=(1, 2)) & live
+        assert same.sum() <= max(1, 0.01 * live.sum()), (shift, same.sum())
