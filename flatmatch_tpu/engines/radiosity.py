@@ -213,7 +213,10 @@ def _form_factors_aa_all(
     sharding the ray axis)."""
     from ..ops.aa_query import MISS, aa_nearest
     chunk = centers_all.shape[1]
-    TB = 8 * 128
+    # 64-sublane ray blocks: same VPU-bound scalar rect loop as the wide
+    # photon kernel, where S=8 -> 64 measured ~1.6x on v5e
+    S = 64
+    TB = S * 128
     R = chunk * rays
     pad = (-R) % TB
 
@@ -223,7 +226,8 @@ def _form_factors_aa_all(
         if pad:
             src = jnp.pad(src, ((0, pad), (0, 0)))
             direc = jnp.pad(direc, ((0, pad), (0, 0)), constant_values=1.0)
-        dist, tex = aa_nearest(aa_fields, src, direc, group_counts)
+        dist, tex = aa_nearest(aa_fields, src, direc, group_counts,
+                               sublanes=S)
         chunk_ids = jnp.where(dist < MISS * 0.5, tex, -1)[:R].reshape(
             chunk, rays
         )
@@ -402,7 +406,6 @@ def render_radiosity_sharded(
 
     num_texels = scene.num_texels
 
-    @jax.jit
     def iteration(src_dev, ids):
         @ft.partial(
             shard_map, mesh=mesh, in_specs=(repl, by_rays),
@@ -432,9 +435,14 @@ def render_radiosity_sharded(
         nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays_eff)
         return apply_plan(nxt, plan)
 
-    src_dev = jnp.asarray(src)
-    for _ in range(int(cfg.iterations)):
-        src_dev = iteration(src_dev, ids_sharded)
+    # one device program for all iterations (one psum per iteration stays)
+    @ft.partial(jax.jit, static_argnames=("iters",))
+    def relax(src_dev, ids, iters: int):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, s: iteration(s, ids), src_dev
+        )
+
+    src_dev = relax(jnp.asarray(src), ids_sharded, int(cfg.iterations))
 
     return np.asarray(src_dev)[:num_texels].copy()
 
@@ -488,7 +496,6 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
 
     num_texels = scene.num_texels
 
-    @jax.jit
     def iteration(src_dev, ids):
         def body(i, dest):
             sl = jax.lax.dynamic_slice(ids, (i * chunk, 0), (chunk, rays))
@@ -506,9 +513,16 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
         nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays)
         return apply_plan(nxt, plan)
 
-    src_dev = jnp.asarray(src)
-    for _ in range(int(cfg.iterations)):
-        src_dev = iteration(src_dev, ids_dev)
+    # ALL relaxation iterations as one device program: a python-level loop
+    # pays ~0.5-1 s of dispatch latency per jit call through the
+    # interconnect — at reduced ray budgets that was half the wall clock
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def relax(src_dev, ids, iters: int):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, s: iteration(s, ids), src_dev
+        )
+
+    src_dev = relax(jnp.asarray(src), ids_dev, int(cfg.iterations))
 
     out = np.asarray(src_dev)[:num_texels].copy()
     return out
