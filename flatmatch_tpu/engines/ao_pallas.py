@@ -130,23 +130,36 @@ def nearest_distances(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_counts", "K", "sky", "normalization")
+    jax.jit,
+    static_argnames=("group_counts", "K", "chunk", "n_chunks", "sky",
+                     "normalization", "sublanes"),
 )
-def _ao_texel_chunk(
-    aa_fields, centers, dirs, fac, group_counts, K: int, sky, normalization
+def _ao_all(
+    aa_fields, centers_pad, wall_pad, dir_tables, fac, group_counts,
+    K: int, chunk: int, n_chunks: int, sky, normalization, sublanes: int,
 ):
-    """AO values for a padded [C] texel chunk: rays expanded ON DEVICE from
-    the per-texel centers [C,3] and per-texel direction tables [C,K,3] (the
-    host->device stream is tiny; expanding rays on the host would push
-    C*K*6 floats through the interconnect per chunk)."""
-    C = centers.shape[0]
-    origins = (centers[:, None, :] + dirs * 1e-5).reshape(C * K, 3)
-    flat_dirs = dirs.reshape(C * K, 3)
-    dist = nearest_distances(
-        aa_fields, origins, flat_dirs, group_counts, sky=sky
-    ).reshape(C, K)
-    return jnp.sum(dist * fac[None, :], axis=-1) / (
-        jnp.sum(fac) * normalization
+    """The WHOLE AO pass as one device program: fori over texel chunks,
+    on-device ray expansion + nearest-hit kernel + weighted reduction per
+    chunk. A python-level chunk loop pays dispatch + readback latency per
+    call through the interconnect (the same cost the radiosity relax loop
+    paid per iteration); one program pays it once."""
+    def body(i, vals):
+        c = jax.lax.dynamic_slice(centers_pad, (i * chunk, 0), (chunk, 3))
+        w = jax.lax.dynamic_slice(wall_pad, (i * chunk,), (chunk,))
+        d = dir_tables[w]  # [chunk, K, 3]
+        origins = (c[:, None, :] + d * 1e-5).reshape(chunk * K, 3)
+        dist = nearest_distances(
+            aa_fields, origins, d.reshape(chunk * K, 3), group_counts,
+            sublanes=sublanes, sky=sky,
+        ).reshape(chunk, K)
+        out = jnp.sum(dist * fac[None, :], axis=-1) / (
+            jnp.sum(fac) * normalization
+        )
+        return jax.lax.dynamic_update_slice(vals, out, (i * chunk,))
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((n_chunks * chunk,), jnp.float32),
     )
 
 
@@ -156,43 +169,53 @@ def render_ao(
     """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
     vs = geosphere(cfg.geosphere_level)
     K = len(vs)
-    fac = jnp.asarray(vs[:, 2].astype(f32))
+    # pad the direction table to a multiple of 8 with ZERO-WEIGHT copies of
+    # ray 0 (fac=0 contributes exact +0.0 to both sums): gcd(K_pad, TB) >= 8
+    # keeps the chunk quantum small for any sublane count
+    K_pad = (K + 7) // 8 * 8
+    fac = np.zeros(K_pad, f32)
+    fac[:K] = vs[:, 2].astype(f32)
+    fac = jnp.asarray(fac)
 
     # small per-texel tables; ray expansion happens on device
     centers = np.concatenate([tile_centers(w) for w in scene.walls])
     wall_of_texel = np.concatenate(
         [np.full(num_tiles(w), i, np.int32) for i, w in enumerate(scene.walls)]
     )
-    dir_tables = jnp.asarray(
-        np.stack(
-            [wall_directions(w.n, cfg.geosphere_level) for w in scene.walls]
-        )
-    )  # [W, K, 3]
-    centers_dev = jnp.asarray(centers)
-    wall_dev = jnp.asarray(wall_of_texel)
+
+    def padded_dirs(n):
+        d = wall_directions(n, cfg.geosphere_level)
+        return np.concatenate(
+            [d, np.broadcast_to(d[0:1], (K_pad - K, 3))]
+        ).astype(f32)
+
+    dir_tables = jnp.asarray(np.stack([padded_dirs(w.n) for w in scene.walls]))
 
     T0 = len(centers)
     texels = np.zeros((scene.num_texels, 3), f32)
-    vals = np.empty(T0, f32)
 
-    tex_per_call = max(LANES, rays_per_call // K)
-    # pad chunk so C*K is a multiple of the kernel block (K=481 is odd, so
-    # use a chunk multiple of 8*128 texels worth of rays via lcm trick:
-    # C*K % 1024 == 0 iff C % 1024 == 0 when gcd(K,1024)=1)
-    tex_per_call = max(1024, (tex_per_call // 1024) * 1024)
-    for s in range(0, T0, tex_per_call):
-        e = min(s + tex_per_call, T0)
-        n_real = e - s
-        idxs = jnp.arange(s, s + tex_per_call) % T0  # wrap-pad
-        c = centers_dev[idxs]
-        d = dir_tables[wall_dev[idxs]]
-        out = np.asarray(
-            _ao_texel_chunk(
-                aa.fields, c, d, fac, aa.group_counts, K,
-                float(cfg.sky_distance), float(cfg.normalization),
-            )
+    import math
+
+    # sublanes: the VPU-bound rect loop measured best at 64 on v5e (wide
+    # photon kernel sweeps); small scenes clamp down so a chunk is not
+    # mostly wrap-padding
+    S = 64 if T0 * K_pad >= (1 << 22) else 8
+    TB = S * LANES
+    quantum = TB // math.gcd(K_pad, TB)
+    chunk = max(LANES, rays_per_call // K_pad)
+    chunk = max(quantum, (chunk // quantum) * quantum)
+    t0_rounded = (T0 + quantum - 1) // quantum * quantum
+    chunk = min(chunk, t0_rounded)
+    n_chunks = (T0 + chunk - 1) // chunk
+    idxs = np.arange(n_chunks * chunk) % T0  # wrap-pad
+    vals = np.asarray(
+        _ao_all(
+            aa.fields, jnp.asarray(centers[idxs]),
+            jnp.asarray(wall_of_texel[idxs]), dir_tables, fac,
+            aa.group_counts, K_pad, chunk, n_chunks,
+            float(cfg.sky_distance), float(cfg.normalization), S,
         )
-        vals[s:e] = out[:n_real]
+    )[:T0]
 
     # write back per wall (grayscale, photonmap.c:474-475)
     t = 0

@@ -293,7 +293,7 @@ def render_ao_sharded(
     import numpy as np
 
     from ..engines.ao import tile_centers, wall_directions
-    from ..engines.ao_pallas import LANES as AOLANES, _ao_texel_chunk
+    from ..engines.ao_pallas import LANES as AOLANES
     from ..ops.geosphere import geosphere
     from ..scene.rectangle import num_tiles
 
@@ -332,42 +332,50 @@ def render_ao_sharded(
 
     T0 = len(centers)
     texels = np.zeros((scene.num_texels, 3), f32)
-    vals = np.empty(T0, f32)
 
-    # per-device chunk slices must satisfy the kernel block constraint:
-    # (C_local * K_pad) % 1024 == 0
-    c_quantum = max(1, 1024 // math.gcd(K_pad, 1024))
-    quantum = c_quantum * n_dev
-    tex_per_call = max(AOLANES, rays_per_call * n_dev // K_pad)
-    tex_per_call = max(quantum, (tex_per_call // quantum) * quantum)
-    # never wrap-pad beyond the scene itself
-    t0_rounded = ((T0 + quantum - 1) // quantum) * quantum
-    tex_per_call = min(tex_per_call, t0_rounded)
+    # ONE device program for the whole pass (python-level chunk loops pay
+    # dispatch + readback latency per call): the padded texel axis divides
+    # across devices, each device fori-loops its local chunks. Sublane
+    # count and local chunk must satisfy (chunk * K_pad) % (S*128) == 0.
+    from ..engines.ao_pallas import _ao_all
+
+    S = 64 if (T0 // n_dev) * K_pad >= (1 << 22) else 8
+    TB = S * AOLANES
+    c_quantum = max(1, TB // math.gcd(K_pad, TB))
+    chunk = max(AOLANES, rays_per_call // K_pad)
+    chunk = max(c_quantum, (chunk // c_quantum) * c_quantum)
+    t_loc_rounded = (
+        (T0 + c_quantum * n_dev - 1) // (c_quantum * n_dev) * c_quantum
+    )
+    chunk = min(chunk, t_loc_rounded)
+    n_chunks = (t_loc_rounded + chunk - 1) // chunk
+    t_loc = n_chunks * chunk
+    idxs = np.arange(t_loc * n_dev) % T0  # wrap-pad
     K = K_pad
 
     sharded = P("photons")
+    repl = P()
 
     @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(sharded, sharded),
+        in_specs=(sharded, sharded, repl, repl, repl),
         out_specs=sharded,
         check_vma=False,
     )
-    def chunk_fn(c, d):
-        return _ao_texel_chunk(
-            aa.fields, c, d, fac, aa.group_counts, K,
-            float(cfg.sky_distance), float(cfg.normalization),
+    def all_fn(c, w, fields, dirt, fac):
+        return _ao_all(
+            fields, c, w, dirt, fac, aa.group_counts, K, chunk, n_chunks,
+            float(cfg.sky_distance), float(cfg.normalization), S,
         )
 
-    for s in range(0, T0, tex_per_call):
-        e = min(s + tex_per_call, T0)
-        n_real = e - s
-        idxs = jnp.arange(s, s + tex_per_call) % T0  # wrap-pad
-        c = centers_dev[idxs]
-        d = dir_tables[wall_dev[idxs]]
-        vals[s:e] = np.asarray(chunk_fn(c, d))[:n_real]
+    vals = np.asarray(
+        all_fn(
+            centers_dev[jnp.asarray(idxs)], wall_dev[jnp.asarray(idxs)],
+            aa.fields, dir_tables, fac,
+        )
+    )[:T0]
 
     t = 0
     for wall in scene.walls:
