@@ -97,6 +97,7 @@ def bench_radiosity(scene):
     from flatmatch_tpu.scene.rectangle import num_tiles
 
     cfg = RadiosityConfig(rays_per_texel=RADIOSITY_RAYS, seed=0)
+    radiosity.render_radiosity(scene, cfg)  # warm: compile-cache load etc.
     t0 = time.perf_counter()
     out = radiosity.render_radiosity(scene, cfg)
     energy = float(np.asarray(out).sum())
@@ -192,18 +193,23 @@ def main():
     rate = n_photons / dt
     assert np.isfinite(energy) and energy > 0
 
-    vs = None
+    ref_meta = {}
     baseline_file = REPO / "BASELINE_MEASURED.json"
     if baseline_file.exists():
-        ref = json.loads(baseline_file.read_text())
-        ref_rate = ref.get("reference_photons_per_s")
-        if ref_rate:
-            vs = rate / ref_rate
+        ref_meta = json.loads(baseline_file.read_text())
+    vs = None
+    ref_rate = ref_meta.get("reference_photons_per_s")
+    if ref_rate:
+        vs = rate / ref_rate
 
     extras = {}
     if BENCH_ALL:
         try:
-            extras["ao_texel_rays_per_s"] = round(bench_ao(scene, aa), 1)
+            ao_rate = bench_ao(scene, aa)
+            extras["ao_texel_rays_per_s"] = round(ao_rate, 1)
+            ao_ref = ref_meta.get("reference_ao_texel_rays_per_s")
+            if ao_ref:
+                extras["ao_vs_baseline"] = round(ao_rate / ao_ref, 1)
         except Exception as e:  # never let a secondary bench kill the line
             extras["ao_error"] = repr(e)[:200]
         try:

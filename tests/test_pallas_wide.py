@@ -53,21 +53,24 @@ def test_device_rng_matches_statistically(tiny):
     )
     ems = pack_emitters(scene, spa, base.window_color, base.light_color)
     cfg_rng = dataclasses.replace(base, device_rng=True)
+    # sublanes=8 -> one 1024-photon block per batch: draws are keyed by
+    # GLOBAL photon index on both paths, so block height changes nothing
+    # but interpret-mode overhead (8x fewer kernel interpretations)
     with pltpu.force_tpu_interpret_mode():
         a = np.asarray(
             photon_pallas_wide.render_photons(
-                rects, ems, scene.num_texels, base, aa, sublanes=1
+                rects, ems, scene.num_texels, base, aa, sublanes=8
             )
         )
         b = np.asarray(
             photon_pallas_wide.render_photons(
-                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=1
+                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=8
             )
         )
         # deterministic for a fixed seed schedule
         b2 = np.asarray(
             photon_pallas_wide.render_photons(
-                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=1
+                rects, ems, scene.num_texels, cfg_rng, aa, sublanes=8
             )
         )
     np.testing.assert_array_equal(b, b2)
