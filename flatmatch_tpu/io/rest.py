@@ -102,13 +102,68 @@ def package_offer(
     return out / "rest"
 
 
+# Minimal browser frontend served at "/": the functional analog of the
+# reference's in-repo demo page (/root/reference/main.js), which appends
+# each lightmap as a small <img> tile (main.js:12-17). The stale
+# emscripten worker pipeline is replaced by the REST tree this server
+# already publishes: the page fetches offer/layout/textures for an id and
+# shows the layout, the geometry summary, and the full tile gallery.
+_VIEWER_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>flatmatch_tpu viewer</title>
+<style>
+ body { font-family: sans-serif; margin: 1.5em; background: #161616;
+        color: #ddd; }
+ img.tile { width: 32px; height: 32px; image-rendering: pixelated;
+            margin: 1px; background: #000; }
+ img.layout { border: 1px solid #555; max-width: 40em; }
+ code { color: #9c9; }
+</style></head><body>
+<h2>flatmatch_tpu lightmap viewer</h2>
+<p>offers: <span id="offers"></span></p>
+<div id="view"></div>
+<script>
+"use strict";
+async function show(id) {
+  const view = document.getElementById("view");
+  view.innerHTML = "<h3>offer " + id + "</h3>";
+  const offer = await (await fetch("rest/get/offer/" + id)).json();
+  const geo = offer.layout.geometry || [];
+  const p = document.createElement("p");
+  p.innerHTML = "<code>" + geo.length + " rects, start ["
+    + (offer.layout.startingPosition || []) + "]</code>";
+  view.appendChild(p);
+  const img = document.createElement("img");
+  img.className = "layout"; img.src = "rest/get/layout/" + id;
+  view.appendChild(img);
+  const tex = await (await fetch("rest/get/textures/" + id)).json();
+  const gallery = document.createElement("div");
+  view.appendChild(gallery);
+  for (const k of Object.keys(tex)) {       // main.js:12-17 behavior
+    const t = document.createElement("img");
+    t.className = "tile"; t.title = "tile " + k;
+    t.src = "data:image/png;base64," + tex[k];
+    gallery.appendChild(t);
+  }
+}
+(async () => {
+  const ids = await (await fetch("offers")).json();
+  document.getElementById("offers").innerHTML = ids.map(
+    i => '<a href="#" onclick="show(' + i + ');return false">' + i + "</a>"
+  ).join(" ");
+  if (ids.length) show(ids[0]);
+})();
+</script></body></html>
+"""
+
+
 def make_rest_server(root: str, host: str = "127.0.0.1", port: int = 0):
     """HTTP server for an assembled REST tree (the service the reference's
     folder layout is built FOR: the FlatMatch WebGL viewer fetches
     `rest/get/{offer,layout,textures}/<id>`, generate_flatmatch_entry.py:54-82
-    and the worker fetch in /root/reference/main.js). Returns a configured
-    `ThreadingHTTPServer`; call `.serve_forever()` (or run it from a thread
-    in tests). `root` is the directory CONTAINING `rest/`."""
+    and the worker fetch in /root/reference/main.js). Also serves a built-in
+    viewer page at `/` and the offer-id listing at `/offers`. Returns a
+    configured `ThreadingHTTPServer`; call `.serve_forever()` (or run it
+    from a thread in tests). `root` is the directory CONTAINING `rest/`."""
     import http.server
 
     base = pathlib.Path(root).resolve()
@@ -120,8 +175,27 @@ def make_rest_server(root: str, host: str = "127.0.0.1", port: int = 0):
             "layout": "image/png",
         }
 
+        def _send(self, body: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802 (http.server API)
             parts = [p for p in self.path.split("?")[0].split("/") if p]
+            if not parts or parts == ["viewer"]:
+                self._send(_VIEWER_HTML.encode(), "text/html; charset=utf-8")
+                return
+            if parts == ["offers"]:
+                ids = sorted(
+                    int(p.name)
+                    for p in (base / "rest" / "get" / "offer").glob("*")
+                    if p.name.isdigit()
+                )
+                self._send(json.dumps(ids).encode(), "application/json")
+                return
             if (
                 len(parts) != 4
                 or parts[0] != "rest"
@@ -135,13 +209,7 @@ def make_rest_server(root: str, host: str = "127.0.0.1", port: int = 0):
             if not f.is_file():
                 self.send_error(404)
                 return
-            body = f.read_bytes()
-            self.send_response(200)
-            self.send_header("Content-Type", self.CONTENT_TYPES[parts[2]])
-            self.send_header("Content-Length", str(len(body)))
-            self.send_header("Access-Control-Allow-Origin", "*")
-            self.end_headers()
-            self.wfile.write(body)
+            self._send(f.read_bytes(), self.CONTENT_TYPES[parts[2]])
 
         def log_message(self, *a):  # quiet: progress goes through our tracer
             pass

@@ -202,6 +202,14 @@ def test_rest_server_round_trip(tmp_path):
         assert r.read() == png
         r = urllib.request.urlopen(f"{base}/rest/get/textures/7")
         assert json.loads(r.read()) == {"0": "QUJD"}
+        # built-in viewer page (the main.js tile-gallery analog) + listing
+        r = urllib.request.urlopen(f"{base}/")
+        assert r.headers["Content-Type"].startswith("text/html")
+        page = r.read().decode()
+        assert "rest/get/textures/" in page  # fetches the REST contract
+        assert json.loads(
+            urllib.request.urlopen(f"{base}/offers").read()
+        ) == [7]
         for bad in (
             "/rest/get/offer/8",          # missing id
             "/rest/get/offer/../offer/7",  # traversal
