@@ -83,6 +83,14 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         help="disable the multi-device sharded engines even when more than "
         "one device is visible",
     )
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR "
+        "(view with TensorBoard / xprof; the reference's analog was "
+        "compiled-out gcc PGO hooks, Makefile:22-24)",
+    )
     # multi-host launch (same command on every host); with none of these
     # set, cluster auto-detection applies (parallel/multihost.py)
     p.add_argument("--coordinator", default=None,
@@ -182,28 +190,38 @@ def main(argv=None) -> int:
 
     mesh = None if args.single_device else "auto"
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if getattr(args, "profile", None):
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
     if args.cmd == "render":
         from .render import render
 
-        render(args.layout, args.out, args.scale, cfg, mesh=mesh,
-               checkpoint_path=args.checkpoint, preview=args.preview)
+        with profile_ctx:
+            render(args.layout, args.out, args.scale, cfg, mesh=mesh,
+                   checkpoint_path=args.checkpoint, preview=args.preview)
         return 0
     if args.cmd == "package":
         from .io.rest import package_offer
 
-        package_offer(
-            args.layout,
-            args.offer_id,
-            args.scale,
-            args.latitude,
-            args.longitude,
-            args.yaw,
-            args.level,
-            args.out,
-            cfg,
-            mesh=mesh,
-            checkpoint_path=args.checkpoint,
-        )
+        with profile_ctx:
+            package_offer(
+                args.layout,
+                args.offer_id,
+                args.scale,
+                args.latitude,
+                args.longitude,
+                args.yaw,
+                args.level,
+                args.out,
+                cfg,
+                mesh=mesh,
+                checkpoint_path=args.checkpoint,
+            )
         return 0
     return 1
 

@@ -102,6 +102,30 @@ def test_package_offer(tmp_path):
     assert img.size[0] >= 1 and img.size[1] >= 1
 
 
+def test_cli_profile_flag(tmp_path):
+    """`render --profile DIR` captures a jax.profiler trace of the run
+    (the reference's only profiling story was compiled-out gcc PGO hooks,
+    Makefile:22-24)."""
+    prof = tmp_path / "prof"
+    rc = cli.main(
+        [
+            "render",
+            str(FIXTURES / "tiny.png"),
+            "30",
+            "--engine", "photon_xla",
+            "--samples-per-area", "1000",
+            "--photons-per-batch", "256",
+            "--out", str(tmp_path / "out"),
+            "--profile", str(prof),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "out" / "geometry.json").exists()
+    # the trace context must have written a profile artifact tree
+    assert prof.is_dir()
+    assert any(prof.rglob("*")), "profile dir is empty"
+
+
 def test_rest_tree_byte_parity_with_reference_packager(tmp_path):
     """Golden test against the ACTUAL reference packager
     (/root/reference/generate_flatmatch_entry.py): run it over the same
