@@ -79,11 +79,15 @@ def bench_ao(scene, aa):
             scene, pack_rects(scene.walls), cfg
         )
     float(np.asarray(run()).sum())  # warm/compile
-    t0 = time.perf_counter()
-    out = run()
-    energy = float(np.asarray(out).sum())
-    dt = time.perf_counter() - t0
-    assert np.isfinite(energy) and energy > 0
+    # best of 3: the full pass is ~0.16s, so a single ~0.5s dispatch
+    # latency spike through the tunnel would dominate one measurement
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        energy = float(np.asarray(out).sum())
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(energy) and energy > 0
     rays = sum(num_tiles(r) for r in scene.walls) * 481
     return rays / dt
 
@@ -98,11 +102,13 @@ def bench_radiosity(scene):
 
     cfg = RadiosityConfig(rays_per_texel=RADIOSITY_RAYS, seed=0)
     radiosity.render_radiosity(scene, cfg)  # warm: compile-cache load etc.
-    t0 = time.perf_counter()
-    out = radiosity.render_radiosity(scene, cfg)
-    energy = float(np.asarray(out).sum())
-    dt = time.perf_counter() - t0
-    assert np.isfinite(energy) and energy > 0
+    dt = float("inf")
+    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+        t0 = time.perf_counter()
+        out = radiosity.render_radiosity(scene, cfg)
+        energy = float(np.asarray(out).sum())
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(energy) and energy > 0
     rays = sum(num_tiles(r) for r in scene.walls) * RADIOSITY_RAYS
     return rays / dt, dt
 
@@ -186,12 +192,14 @@ def main():
     # so force a readback.
     float(np.asarray(run(emitters)).sum())
 
-    t0 = time.perf_counter()
-    lm = run(emitters)
-    energy = float(np.asarray(lm).sum())
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+        t0 = time.perf_counter()
+        lm = run(emitters)
+        energy = float(np.asarray(lm).sum())
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(energy) and energy > 0
     rate = n_photons / dt
-    assert np.isfinite(energy) and energy > 0
 
     ref_meta = {}
     baseline_file = REPO / "BASELINE_MEASURED.json"
