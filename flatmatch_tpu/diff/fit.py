@@ -1,0 +1,161 @@
+"""Inverse rendering: fit per-rect albedo and per-emitter power to a target
+lightmap.
+
+This is the consumer-facing loop over the replay-VJP renderers
+(diff/render.py): given a target texel arena (e.g. a measured or
+previously-rendered lightmap), recover the material/emitter parameters
+that explain it by gradient descent. The reference renderer has no analog
+(it is forward-only); this is the capability the differentiable TPU
+re-design exists for (BASELINE.md north-star: albedo/power gradients).
+
+Parameterization keeps the optimization unconstrained:
+
+  albedo = sigmoid(a_logit)   in (0, 1)  — physical reflectance range
+  power  = exp(p_log)         in (0, ∞)  — multiplicative emitter scale
+
+The renderer's RNG schedule is fixed by cfg.seed, so the loss is a
+deterministic function of the parameters and the fit is exactly
+reproducible (and when the target was rendered with the same seed, the
+true parameters are an exact global optimum — gated in test_diff.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PhotonConfig
+from ..ops.device_scene import EmittersDev, RectsDev
+
+
+@dataclasses.dataclass
+class FitResult:
+    albedo: np.ndarray        # [N_rects] fitted reflectances in (0, 1)
+    power: np.ndarray         # [N_emitters] fitted emitter scales (> 0)
+    losses: np.ndarray        # [steps] relative-MSE loss per step
+    lightmap: np.ndarray      # [T, 3] render at the fitted parameters
+
+
+def _logit(x):
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    return jnp.log(x) - jnp.log1p(-x)
+
+
+def make_renderer(
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    aa=None,
+    mesh=None,
+    sublanes: int = 32,
+):
+    """Pick the fastest differentiable renderer for the current backend:
+    the wide Pallas kernel on TPU (sharded over `mesh` when given), the
+    XLA engine elsewhere — the same selection logic as the forward
+    pipeline (render.py:88-151)."""
+    from .render import (
+        make_diff_renderer,
+        make_diff_renderer_sharded,
+        make_diff_renderer_sharded_wide,
+        make_diff_renderer_wide,
+    )
+
+    wide = aa is not None and jax.default_backend() == "tpu"
+    if mesh is not None:
+        if wide:
+            return make_diff_renderer_sharded_wide(
+                rects, emitters, num_texels, cfg, aa, mesh, sublanes
+            )
+        return make_diff_renderer_sharded(
+            rects, emitters, num_texels, cfg, mesh
+        )
+    if wide:
+        return make_diff_renderer_wide(
+            rects, emitters, num_texels, cfg, aa, sublanes
+        )
+    return make_diff_renderer(rects, emitters, num_texels, cfg)
+
+
+def fit_materials(
+    target,
+    rects: RectsDev,
+    emitters: EmittersDev,
+    num_texels: int,
+    cfg: PhotonConfig,
+    *,
+    aa=None,
+    mesh=None,
+    sublanes: int = 32,
+    steps: int = 100,
+    learning_rate: float = 0.1,
+    init_albedo: Optional[float] = None,
+    init_power: float = 1.0,
+    fit_albedo: bool = True,
+    fit_power: bool = True,
+) -> FitResult:
+    """Gradient-descent fit of (albedo [N_rects], power [N_emitters]) to a
+    target lightmap [num_texels, 3] (pre-exposure texel arena, the same
+    quantity the renderers return).
+
+    Loss = mean squared error relative to the target's mean square, so the
+    result is exposure-scale-free. Optimizer: optax.adam. Parameters not
+    being fit are held at their init. Deterministic for fixed cfg.seed.
+    """
+    import optax
+
+    render = make_renderer(
+        rects, emitters, num_texels, cfg, aa=aa, mesh=mesh, sublanes=sublanes
+    )
+    n_rects = int(rects.pos.shape[0])
+    n_em = int(np.asarray(emitters.counts).shape[0])
+    a0 = cfg.albedo if init_albedo is None else float(init_albedo)
+
+    target = jnp.asarray(target, jnp.float32)
+    norm = jnp.maximum(jnp.mean(target * target), 1e-20)
+
+    params = {
+        "a_logit": jnp.full((n_rects,), _logit(jnp.float32(a0)), jnp.float32),
+        "p_log": jnp.full((n_em,), jnp.log(jnp.float32(init_power)),
+                          jnp.float32),
+    }
+
+    def constrain(params):
+        albedo = jax.nn.sigmoid(params["a_logit"])
+        power = jnp.exp(params["p_log"])
+        if not fit_albedo:
+            albedo = jax.lax.stop_gradient(albedo)
+        if not fit_power:
+            power = jax.lax.stop_gradient(power)
+        return albedo, power
+
+    def loss_fn(params):
+        albedo, power = constrain(params)
+        lm = render(albedo, power)
+        return jnp.mean((lm - target) ** 2) / norm
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(int(steps)):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+
+    albedo, power = constrain(params)
+    lightmap = render(albedo, power)
+    return FitResult(
+        albedo=np.asarray(albedo),
+        power=np.asarray(power),
+        losses=np.asarray(losses, np.float64),
+        lightmap=np.asarray(lightmap),
+    )

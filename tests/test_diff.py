@@ -259,3 +259,54 @@ def test_sharded_diff_renderer(setup):
     a2 = ga.ravel()
     cos = a1 @ a2 / (np.linalg.norm(a1) * np.linalg.norm(a2) + 1e-30)
     assert cos > 0.98, cos
+
+
+def test_fit_power_recovers_exactly(setup):
+    """Inverse rendering, power-only: the target is rendered at known
+    emitter powers with the same seed, so the true powers are an exact
+    global optimum; the fit must recover them to ~1%."""
+    from flatmatch_tpu.diff.fit import fit_materials
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    n_em = len(np.asarray(emitters.counts))
+    power_true = jnp.asarray(
+        1.0 + 0.4 * (np.arange(n_em) + 1) / n_em, jnp.float32
+    )
+    target = render(albedo0, power_true)
+
+    res = fit_materials(
+        target, rects, emitters, scene.num_texels, CFG,
+        steps=150, learning_rate=0.05, fit_albedo=False,
+    )
+    assert res.losses[-1] < 1e-4, res.losses[-1]
+    np.testing.assert_allclose(res.power, np.asarray(power_true), rtol=0.01)
+    # albedo was held at its init
+    np.testing.assert_allclose(res.albedo, CFG.albedo, atol=1e-6)
+
+
+def test_fit_materials_joint(setup):
+    """Joint albedo+power fit: loss collapses and the fitted parameters
+    reproduce the target lightmap."""
+    from flatmatch_tpu.diff.fit import fit_materials
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    n_rects = len(np.asarray(albedo0))
+    rng = np.random.RandomState(3)
+    albedo_true = jnp.asarray(
+        0.6 + 0.3 * rng.rand(n_rects), jnp.float32
+    )
+    power_true = jnp.asarray([1.3] * len(np.asarray(power0)), jnp.float32)
+    target = np.asarray(render(albedo_true, power_true))
+
+    res = fit_materials(
+        target, rects, emitters, scene.num_texels, CFG,
+        steps=120, learning_rate=0.1,
+    )
+    assert res.losses[-1] < res.losses[0] / 50, (
+        res.losses[0], res.losses[-1]
+    )
+    # fitted render explains the target
+    rel = float(
+        np.mean((res.lightmap - target) ** 2) / np.mean(target**2)
+    )
+    assert rel < 2e-3, rel
