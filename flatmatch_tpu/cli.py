@@ -137,6 +137,42 @@ def main(argv=None) -> int:
         "exposure-scaled by traced-so-far fraction (the browser port's "
         "incremental lightmaps, worker.js:43-60)",
     )
+    p_render.add_argument(
+        "--dump-raw",
+        action="store_true",
+        help="also write tiles/tile_<i>.raw float32 dumps with TileMetadata "
+        "headers (the reference's saveAsRaw, rectangle.c:391-429) — the "
+        "target format for the `fit` command",
+    )
+
+    p_fit = sub.add_parser(
+        "fit",
+        help="inverse rendering: fit per-wall albedo + per-emitter power "
+        "so the photon render matches a target (render --dump-raw output)",
+    )
+    p_fit.add_argument("layout", help="layout PNG path")
+    p_fit.add_argument(
+        "target", help="directory containing tile_<i>.raw dumps "
+        "(the tiles/ dir of a `render --dump-raw` run)"
+    )
+    p_fit.add_argument(
+        "scale", nargs="?", type=float, default=30.0, help="pixels per meter"
+    )
+    _add_engine_flags(p_fit)
+    p_fit.add_argument("--fit-steps", type=int, default=100)
+    p_fit.add_argument("--fit-lr", type=float, default=0.1)
+    p_fit.add_argument(
+        "--fit-power-only", action="store_true",
+        help="hold albedo at its init; fit emitter powers only",
+    )
+    p_fit.add_argument(
+        "--fit-init-albedo", type=float, default=None,
+        help="starting albedo (default: the physics constant 0.9)",
+    )
+    p_fit.add_argument(
+        "--fit-init-power", type=float, default=1.0,
+        help="starting emitter power multiplier",
+    )
 
     p_pkg = sub.add_parser("package", help="render + assemble REST tree")
     p_pkg.add_argument("layout")
@@ -203,7 +239,39 @@ def main(argv=None) -> int:
 
         with profile_ctx:
             render(args.layout, args.out, args.scale, cfg, mesh=mesh,
-                   checkpoint_path=args.checkpoint, preview=args.preview)
+                   checkpoint_path=args.checkpoint, preview=args.preview,
+                   dump_raw=args.dump_raw)
+        return 0
+    if args.cmd == "fit":
+        import pathlib
+
+        from .diff.fit import fit_layout
+        from .parallel.mesh import photon_mesh
+        from .utils.progress import info
+
+        import jax as _jax
+
+        fit_mesh = None
+        if not args.single_device and _jax.device_count() > 1:
+            fit_mesh = photon_mesh()
+        out = pathlib.Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        report = out / "fitted.json"
+        with profile_ctx:
+            res = fit_layout(
+                args.layout, args.target, args.scale, cfg,
+                mesh=fit_mesh, steps=args.fit_steps,
+                learning_rate=args.fit_lr,
+                fit_albedo=not args.fit_power_only,
+                init_albedo=args.fit_init_albedo,
+                init_power=args.fit_init_power,
+                out_path=str(report) if multihost.is_primary() else None,
+            )
+        if multihost.is_primary():
+            info(
+                f"fit: loss {res.losses[0]:.3e} -> {res.losses[-1]:.3e} "
+                f"over {args.fit_steps} steps; report {report}"
+            )
         return 0
     if args.cmd == "package":
         from .io.rest import package_offer

@@ -159,3 +159,88 @@ def fit_materials(
         losses=np.asarray(losses, np.float64),
         lightmap=np.asarray(lightmap),
     )
+
+
+def fit_layout(
+    layout_png: str,
+    target_dir: str,
+    scale: float,
+    cfg,
+    *,
+    mesh=None,
+    steps: int = 100,
+    learning_rate: float = 0.1,
+    fit_albedo: bool = True,
+    fit_power: bool = True,
+    init_albedo: Optional[float] = None,
+    init_power: float = 1.0,
+    out_path: Optional[str] = None,
+) -> FitResult:
+    """End-to-end inverse rendering from a rendered target on disk.
+
+    `target_dir` holds `tile_<i>.raw` float32 dumps (one per wall, in wall
+    order — the output of `render --dump-raw`, post-exposure radiance like
+    the reference's saveAsRaw). The dumps are assembled into a texel
+    arena, un-exposed back to raw engine radiance, and fit with
+    fit_materials on the photon config in `cfg` (a RenderConfig).
+    Writes a JSON report to `out_path` when given.
+    """
+    import json
+    import pathlib
+
+    from ..ops.aa_scene import pack_aa
+    from ..ops.device_scene import exposure_scale, pack_emitters, pack_rects
+    from ..io.tiles import load_tile_raw
+    from ..render import compile_scene
+    from ..scene.rectangle import num_tiles
+
+    scene, _ = compile_scene(layout_png, scale, cfg)
+    tdir = pathlib.Path(target_dir)
+    arena = np.zeros((scene.num_texels, 3), np.float32)
+    for i, r in enumerate(scene.walls):
+        meta, data = load_tile_raw(str(tdir / f"tile_{i}.raw"))
+        if (meta["wtiles"], meta["htiles"]) != (r.wtiles, r.htiles):
+            raise ValueError(
+                f"tile_{i}.raw is {meta['wtiles']}x{meta['htiles']} but the "
+                f"compiled scene's wall {i} is {r.wtiles}x{r.htiles} — was "
+                f"the target rendered from this layout at this scale?"
+            )
+        arena[r.base : r.base + num_tiles(r)] = data.reshape(-1, 3)
+
+    # undo the photon exposure normalization (main.c:68-79): the diff
+    # renderers operate on raw pre-exposure radiance
+    es = exposure_scale(
+        scene, cfg.photon.samples_per_area, cfg.photon.exposure
+    )
+    lit = es > 0
+    arena[lit] /= es[lit, None]
+
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene,
+        cfg.photon.samples_per_area,
+        cfg.photon.window_color,
+        cfg.photon.light_color,
+    )
+    aa = None
+    if jax.default_backend() == "tpu":
+        aa = pack_aa(scene.walls)
+
+    res = fit_materials(
+        arena, rects, emitters, scene.num_texels, cfg.photon,
+        aa=aa, mesh=mesh, steps=steps, learning_rate=learning_rate,
+        fit_albedo=fit_albedo, fit_power=fit_power,
+        init_albedo=init_albedo, init_power=init_power,
+    )
+    if out_path is not None:
+        pathlib.Path(out_path).write_text(json.dumps(
+            {
+                "albedo": [round(float(a), 6) for a in res.albedo],
+                "power": [round(float(p), 6) for p in res.power],
+                "initial_loss": res.losses[0] if len(res.losses) else None,
+                "final_loss": res.losses[-1] if len(res.losses) else None,
+                "steps": int(steps),
+            },
+            indent=1,
+        ))
+    return res

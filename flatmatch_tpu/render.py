@@ -204,8 +204,14 @@ def render(
     mesh="auto",
     checkpoint_path: Optional[str] = None,
     preview: bool = False,
+    dump_raw: bool = False,
 ) -> RenderResult:
     """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`.
+
+    `dump_raw=True` additionally writes tiles/tile_<i>.raw float32 dumps
+    with TileMetadata headers (the reference's saveAsRaw artifact,
+    rectangle.c:391-429, commented out at its call site main.c:94) — the
+    input format of the `fit` inverse-rendering command.
 
     Multi-host aware: every process compiles the scene and participates in
     the (sharded) engine collectives, but only the primary process writes
@@ -274,6 +280,11 @@ def render(
         tile_paths = tiles_io.save_tiles(
             scene.walls, texels, str(out / "tiles"), tint_extra
         )
+        if dump_raw:
+            for i, r in enumerate(scene.walls):
+                tiles_io.save_tile_raw(
+                    r, texels, str(out / "tiles" / f"tile_{i}.raw")
+                )
     return RenderResult(
         scene=scene,
         texels=texels,

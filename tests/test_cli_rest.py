@@ -245,3 +245,39 @@ def test_rest_server_round_trip(tmp_path):
             assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_cli_fit_roundtrip(tmp_path):
+    """render --dump-raw -> fit recovers the render's emitter power.
+
+    The target is rendered at the default power (1.0) and the fit starts
+    from 1.5 with --fit-power-only; same seed/config means the true power
+    is an exact optimum."""
+    out = tmp_path / "t"
+    common = [
+        str(FIXTURES / "tiny.png"), "30",
+        "--engine", "photon_xla",
+        "--samples-per-area", "2000",
+        "--photons-per-batch", "512",
+    ]
+    rc = cli.main(["render", *common, "--out", str(out), "--dump-raw"])
+    assert rc == 0
+    raws = sorted((out / "tiles").glob("tile_*.raw"))
+    assert raws, "no raw dumps written"
+
+    fit_out = tmp_path / "f"
+    rc = cli.main([
+        "fit", str(FIXTURES / "tiny.png"), str(out / "tiles"), "30",
+        "--engine", "photon_xla",
+        "--samples-per-area", "2000",
+        "--photons-per-batch", "512",
+        "--out", str(fit_out),
+        "--fit-steps", "120", "--fit-lr", "0.05",
+        "--fit-power-only", "--fit-init-power", "1.5",
+    ])
+    assert rc == 0
+    report = json.loads((fit_out / "fitted.json").read_text())
+    assert report["final_loss"] < 1e-4, report
+    assert report["final_loss"] < report["initial_loss"] / 100
+    for p in report["power"]:
+        assert abs(p - 1.0) < 0.02, report["power"]
