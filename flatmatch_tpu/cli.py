@@ -144,6 +144,14 @@ def main(argv=None) -> int:
         "headers (the reference's saveAsRaw, rectangle.c:391-429) — the "
         "target format for the `fit` command",
     )
+    p_render.add_argument(
+        "--dilate-seams",
+        action="store_true",
+        help="fill lit/unlit boundary texels with their brightest neighbor "
+        "on export, so the viewer's bilinear filtering doesn't bleed dark "
+        "seams (the dilation the reference prototyped in its dead "
+        "imageProcessing.c but never shipped)",
+    )
 
     p_fit = sub.add_parser(
         "fit",
@@ -240,7 +248,7 @@ def main(argv=None) -> int:
         with profile_ctx:
             render(args.layout, args.out, args.scale, cfg, mesh=mesh,
                    checkpoint_path=args.checkpoint, preview=args.preview,
-                   dump_raw=args.dump_raw)
+                   dump_raw=args.dump_raw, dilate_seams=args.dilate_seams)
         return 0
     if args.cmd == "fit":
         import pathlib

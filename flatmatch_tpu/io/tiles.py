@@ -19,19 +19,60 @@ from ..ops import tonemap
 from ..scene.rectangle import Rect, num_tiles
 
 
-def tile_rgb(rect: Rect, texels: np.ndarray, tint_extra: bool) -> np.ndarray:
+def seam_dilate(rgb: np.ndarray) -> np.ndarray:
+    """Fill the dark fringe at lit/unlit lightmap boundaries: every pixel
+    with at least one black AND one non-black 8-neighbor takes the
+    brightest pixel of its 3x3 neighborhood.
+
+    Vectorized re-design of the dilation the reference prototyped but
+    never shipped (the dead imageProcessing.c:100-143 `selectiveDilate`,
+    #error'd out at imageProcessing.c:1): without it, bilinear texture
+    filtering in the WebGL viewer bleeds the never-lit texels behind
+    walls into the visible surface as dark seams. Opt-in
+    (`render --dilate-seams`)."""
+    h, w, _ = rgb.shape
+    pad = np.pad(rgb, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    neigh = np.stack(
+        [
+            pad[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )  # [9, h, w, 3]; index 4 = the pixel itself
+    lum = neigh.astype(np.int32).sum(axis=-1)          # [9, h, w]
+    others = [k for k in range(9) if k != 4]
+    has_black = (lum[others] == 0).any(axis=0)
+    has_lit = (lum[others] > 0).any(axis=0)
+    brightest = np.take_along_axis(
+        neigh, lum.argmax(axis=0)[None, ..., None], axis=0
+    )[0]
+    return np.where((has_black & has_lit)[..., None], brightest, rgb)
+
+
+def tile_rgb(
+    rect: Rect, texels: np.ndarray, tint_extra: bool,
+    dilate_seams: bool = False,
+) -> np.ndarray:
     """Tone-mapped uint8 [htiles, wtiles, 3] image for one wall
     (saveAs_core, rectangle.c:293-336)."""
     data = texels[rect.base : rect.base + num_tiles(rect)].astype(np.float32)
     rgb = tonemap.to_uint8(tonemap.tone_map(data))
     if tonemap.is_floor_rect(rect.pos, rect.width, rect.height):
         rgb = tonemap.apply_floor_tint(rgb, tint_extra)
-    return rgb.reshape(rect.htiles, rect.wtiles, 3)
+    rgb = rgb.reshape(rect.htiles, rect.wtiles, 3)
+    if dilate_seams:
+        rgb = seam_dilate(rgb)
+    return rgb
 
 
-def save_tile(rect: Rect, texels: np.ndarray, path: str, tint_extra: bool) -> None:
+def save_tile(
+    rect: Rect, texels: np.ndarray, path: str, tint_extra: bool,
+    dilate_seams: bool = False,
+) -> None:
     """saveAs (rectangle.c:338-346)."""
-    PILImage.fromarray(tile_rgb(rect, texels, tint_extra), "RGB").save(path)
+    PILImage.fromarray(
+        tile_rgb(rect, texels, tint_extra, dilate_seams), "RGB"
+    ).save(path)
 
 
 def save_tiles(
@@ -39,6 +80,7 @@ def save_tiles(
     texels: np.ndarray,
     out_dir: str,
     tint_extra: bool,
+    dilate_seams: bool = False,
 ) -> list:
     """Per-wall tiles/tile_<i>.png export loop (main.c:83-95)."""
     out = pathlib.Path(out_dir)
@@ -46,7 +88,7 @@ def save_tiles(
     paths = []
     for i, r in enumerate(walls):
         p = out / f"tile_{i}.png"
-        save_tile(r, texels, str(p), tint_extra)
+        save_tile(r, texels, str(p), tint_extra, dilate_seams)
         paths.append(p)
     return paths
 

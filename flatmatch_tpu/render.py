@@ -205,6 +205,7 @@ def render(
     checkpoint_path: Optional[str] = None,
     preview: bool = False,
     dump_raw: bool = False,
+    dilate_seams: bool = False,
 ) -> RenderResult:
     """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`.
 
@@ -266,7 +267,8 @@ def render(
                 full_scale[:, None] * (total / max(done, 1))
             )
             tiles_io.save_tiles(
-                scene.walls, part, str(out / "tiles"), tint_extra
+                scene.walls, part, str(out / "tiles"), tint_extra,
+                dilate_seams,
             )
             print(f"[INF] preview tiles at {done}/{total} photons")
     elif preview and not photon_engine and primary:
@@ -278,7 +280,8 @@ def render(
     tile_paths = []
     if primary:
         tile_paths = tiles_io.save_tiles(
-            scene.walls, texels, str(out / "tiles"), tint_extra
+            scene.walls, texels, str(out / "tiles"), tint_extra,
+            dilate_seams,
         )
         if dump_raw:
             for i, r in enumerate(scene.walls):

@@ -86,9 +86,9 @@ def test_preview_progressive_tiles(tmp_path, monkeypatch):
     calls = []
     real_save = tiles_io.save_tiles
 
-    def spy(walls, texels, out_dir, tint_extra):
+    def spy(walls, texels, out_dir, tint_extra, dilate_seams=False):
         calls.append(np.asarray(texels).sum())
-        return real_save(walls, texels, out_dir, tint_extra)
+        return real_save(walls, texels, out_dir, tint_extra, dilate_seams)
 
     monkeypatch.setattr(render_mod.tiles_io, "save_tiles", spy)
     prev = render(
@@ -147,3 +147,41 @@ def test_preview_wide_engine_interpret(tmp_path):
     np.testing.assert_array_equal(fast, seg)
     assert len(seen) >= 1
     assert seen[-1][0] == seen[-1][1]  # last segment completes the budget
+
+
+def test_seam_dilate_semantics():
+    """Boundary pixels (black+lit 8-neighborhood) take the brightest 3x3
+    neighbor; interior lit and interior black regions are untouched."""
+    import numpy as np
+
+    from flatmatch_tpu.io.tiles import seam_dilate
+
+    img = np.zeros((5, 8, 3), np.uint8)
+    img[:, 4:] = (10, 20, 30)     # lit half
+    img[2, 6] = (200, 10, 0)      # a bright pixel inside the lit half
+    out = seam_dilate(img)
+    # interior black stays black
+    assert (out[:, :3] == 0).all()
+    # boundary columns (3: black side, 4: lit side) are filled/brightened
+    assert (out[:, 3].sum(-1) > 0).all()
+    assert (out[:, 4].sum(-1) >= img[:, 4].sum(-1)).all()
+    # the brightest-neighbor rule: pixels adjacent to the bright spot in
+    # boundary-free interior keep their value (no black neighbors there)
+    assert tuple(out[2, 6]) == (200, 10, 0)
+    # idempotent on a fully lit image
+    lit = np.full((4, 4, 3), 7, np.uint8)
+    assert (seam_dilate(lit) == lit).all()
+
+
+def test_cli_dilate_seams_smoke(tmp_path):
+    from flatmatch_tpu import cli
+    from tests.conftest import FIXTURES
+
+    rc = cli.main([
+        "render", str(FIXTURES / "tiny.png"), "30",
+        "--engine", "photon_xla",
+        "--samples-per-area", "2000", "--photons-per-batch", "512",
+        "--out", str(tmp_path), "--dilate-seams",
+    ])
+    assert rc == 0
+    assert list((tmp_path / "tiles").glob("tile_*.png"))
