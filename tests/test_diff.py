@@ -310,3 +310,25 @@ def test_fit_materials_joint(setup):
         np.mean((res.lightmap - target) ** 2) / np.mean(target**2)
     )
     assert rel < 2e-3, rel
+
+
+def test_fit_layout_rejects_mismatched_target(tmp_path):
+    """fit_layout must refuse raw tiles whose dimensions don't match the
+    compiled scene (wrong layout or scale) instead of mis-assembling."""
+    import pytest
+
+    from flatmatch_tpu.config import DEFAULT_CONFIG, Engine
+    from flatmatch_tpu.diff.fit import fit_layout
+    from flatmatch_tpu.render import render
+    from tests.conftest import FIXTURES
+
+    cfg = DEFAULT_CONFIG.replace(
+        engine=Engine.PHOTON_XLA,
+        photon=CFG,
+    )
+    render(str(FIXTURES / "tiny.png"), str(tmp_path), 30.0, cfg,
+           dump_raw=True)
+    with pytest.raises(ValueError, match="wall 0"):
+        # scale 15 halves the texel grid -> dimension mismatch
+        fit_layout(str(FIXTURES / "tiny.png"), str(tmp_path / "tiles"),
+                   15.0, cfg, steps=1)
