@@ -253,3 +253,44 @@ def test_sharded_respects_last_batch_mask(tiny):
         )
     )
     np.testing.assert_allclose(half.sum() * 2, full.sum(), rtol=0.05)
+
+
+def test_sharded_fit_recovers_power():
+    """Inverse rendering over the photon mesh: a power-only fit against a
+    target rendered by the SAME sharded renderer recovers the true powers
+    (the mesh path of diff/fit.py)."""
+    import jax.numpy as jnp
+
+    from flatmatch_tpu.config import PhotonConfig
+    from flatmatch_tpu.diff.fit import fit_materials, make_renderer
+    from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+    from flatmatch_tpu.parallel.mesh import photon_mesh
+    from flatmatch_tpu.scene import geometry, image as im, layout
+    from tests.conftest import FIXTURES
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(
+        img, np.float32(1.0) / np.float32(30.0), 200.0
+    )
+    scene = geometry.Scene(lay)
+    cfg = PhotonConfig(samples_per_area=2000.0, photons_per_batch=512,
+                       seed=9)
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+    )
+    mesh = photon_mesh()
+    render = make_renderer(rects, emitters, scene.num_texels, cfg,
+                           mesh=mesh)
+    n_em = len(np.asarray(emitters.counts))
+    p_true = jnp.asarray(1.0 + 0.5 * (np.arange(n_em) + 1) / n_em,
+                         jnp.float32)
+    a0 = jnp.full((rects.pos.shape[0],), cfg.albedo, jnp.float32)
+    target = np.asarray(render(a0, p_true))
+
+    res = fit_materials(
+        target, rects, emitters, scene.num_texels, cfg,
+        mesh=mesh, steps=120, learning_rate=0.05, fit_albedo=False,
+    )
+    assert res.losses[-1] < 1e-4, res.losses[-1]
+    np.testing.assert_allclose(res.power, np.asarray(p_true), rtol=0.02)
