@@ -11,9 +11,20 @@ one-hot and on SUBLANES for the rhs, so the caller passes the ids twice
 (row-major and transposed) — two cheap XLA relayouts instead of per-tile
 in-kernel transposes:
 
-    lhs  oh_hiT [H, 128] = (hi_row[1,128] == iota_h)      k on lanes
-    rhs  x      [128,384] = (lo_col[128,1] == iota_j) * rgb  k on sublanes
+    lhs  oh_hiT [H, K]   = (hi_row[1,K] == iota_h)         k on lanes
+    rhs  x      [K, 384] = (lo_col[K,1] == iota_j) * rgb   k on sublanes
     acc [H, 384] += lhs @ rhs                              (f32 accumulate)
+
+`depth` is K, the deposits per MXU pass. The [H, 384] accumulator add
+after each pass costs H*384 VPU adds regardless of K, so deep passes
+amortize it: on a 2M-row production batch, depth=1024 cuts the accumulator
+traffic 8x vs depth=128 (profiled: the splat was 70% of the photon-loop
+device time, and ~40% of the splat was VPU overhead, not MXU MACs).
+Grouping of f32 sums follows the K windows, so DIFFERENT depths give
+last-ulp-different results; callers that rely on bit-identical pairs of
+runs (tail-shrink peeling, checkpoint resume) must pick depth from static
+config — engines/photon_pallas_wide._splat derives it from
+cfg.photons_per_batch — never from the (varying) row count.
 
 Precision matches ops/splat.bucket_splat's single-pass mode: one-hots are
 exact, colors quantize to bf16 once per deposit (below MC noise).
@@ -29,14 +40,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LO = 128
-K = 128  # deposits per MXU pass
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _make_kernel(H: int, G: int):
+def _make_kernel(H: int, G: int, K: int):
     def kernel(idx_row_ref, idx_col_ref, cr_ref, cg_ref, cb_ref, acc_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -68,19 +78,26 @@ def _make_kernel(H: int, G: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_texels", "groups"))
+@functools.partial(
+    jax.jit, static_argnames=("num_texels", "groups", "depth")
+)
 def fused_splat(
     idx: jnp.ndarray,
     col: jnp.ndarray,
     num_texels: int,
     groups: int = 128,
+    depth: int = 128,
 ) -> jnp.ndarray:
     """Sum color rows [R,3] into [num_texels,3] by texel id [R] (Pallas).
 
     `groups` must be a multiple of 128 (Mosaic lane-dim block constraint on
-    the transposed id/color blocks).
+    the transposed id/color blocks); `depth` (K per MXU pass) a multiple of
+    128 too (lane dim of the row-major id block). Rows pad to
+    groups*depth; zero-color padding contributes exact +0.0.
     """
     assert groups % 128 == 0, groups
+    assert depth % 128 == 0, depth
+    K = depth
     R = idx.shape[0]
     t_pad = _round_up(num_texels, LO)
     H = _round_up(t_pad // LO, 8)
@@ -95,7 +112,7 @@ def fused_splat(
     idx_col = idx_row.T                       # [K, n_groups]
     colT = col.reshape(n_groups, K, 3).transpose(1, 0, 2)  # [K, n_groups, 3]
 
-    kernel = _make_kernel(H, groups)
+    kernel = _make_kernel(H, groups, K)
     acc = pl.pallas_call(
         kernel,
         grid=(n_groups // groups,),
