@@ -178,6 +178,11 @@ def main(argv=None) -> int:
         help="starting albedo (default: the physics constant 0.9)",
     )
     p_fit.add_argument(
+        "--fit-render", default=None, metavar="DIR",
+        help="also export tone-mapped tiles rendered at the fitted "
+        "parameters into DIR",
+    )
+    p_fit.add_argument(
         "--fit-init-power", type=float, default=1.0,
         help="starting emitter power multiplier",
     )
@@ -274,6 +279,9 @@ def main(argv=None) -> int:
                 init_albedo=args.fit_init_albedo,
                 init_power=args.fit_init_power,
                 out_path=str(report) if multihost.is_primary() else None,
+                render_out=(
+                    args.fit_render if multihost.is_primary() else None
+                ),
             )
         if multihost.is_primary():
             info(

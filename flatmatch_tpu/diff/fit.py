@@ -175,6 +175,7 @@ def fit_layout(
     init_albedo: Optional[float] = None,
     init_power: float = 1.0,
     out_path: Optional[str] = None,
+    render_out: Optional[str] = None,
 ) -> FitResult:
     """End-to-end inverse rendering from a rendered target on disk.
 
@@ -183,7 +184,9 @@ def fit_layout(
     the reference's saveAsRaw). The dumps are assembled into a texel
     arena, un-exposed back to raw engine radiance, and fit with
     fit_materials on the photon config in `cfg` (a RenderConfig).
-    Writes a JSON report to `out_path` when given.
+    Writes a JSON report to `out_path` when given; `render_out` also
+    exports tone-mapped tiles of the render at the fitted parameters
+    (same export pipeline as `render`, for eyeballing the fit).
     """
     import json
     import pathlib
@@ -232,6 +235,11 @@ def fit_layout(
         fit_albedo=fit_albedo, fit_power=fit_power,
         init_albedo=init_albedo, init_power=init_power,
     )
+    if render_out is not None:
+        from ..io.tiles import save_tiles
+
+        fitted = res.lightmap * np.asarray(es)[:, None]
+        save_tiles(scene.walls, fitted, render_out, tint_extra=False)
     if out_path is not None:
         pathlib.Path(out_path).write_text(json.dumps(
             {

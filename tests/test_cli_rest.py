@@ -274,8 +274,11 @@ def test_cli_fit_roundtrip(tmp_path):
         "--out", str(fit_out),
         "--fit-steps", "120", "--fit-lr", "0.05",
         "--fit-power-only", "--fit-init-power", "1.5",
+        "--fit-render", str(fit_out / "tiles_fitted"),
     ])
     assert rc == 0
+    # fitted-parameter tiles exported alongside the report
+    assert list((fit_out / "tiles_fitted").glob("tile_*.png"))
     report = json.loads((fit_out / "fitted.json").read_text())
     assert report["final_loss"] < 1e-4, report
     assert report["final_loss"] < report["initial_loss"] / 100
