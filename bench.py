@@ -56,6 +56,10 @@ SUBLANES = int(os.environ.get("FLATMATCH_BENCH_SUBLANES", 64))
 # (photonmap.cl:21-25); deterministic per seed schedule. Measured +0.4M
 # photons/s over the threefry-tensor path at the bench budget.
 DEVICE_RNG = os.environ.get("FLATMATCH_BENCH_RNG", "1") == "1"
+# deposit splat strategy (cfg.splat); "fused_i8" runs the MXU binning at
+# int8 rate with dithered 7-bit colors (unbiased, gated in test_splat.py /
+# test_pallas_wide.py)
+SPLAT = os.environ.get("FLATMATCH_BENCH_SPLAT", "fused")
 # gate the secondary engine benches (AO texel-rays/s, radiosity rays/s) —
 # on by default on TPU, skippable for quick photon-only runs
 BENCH_ALL = os.environ.get("FLATMATCH_BENCH_ALL", "1") == "1"
@@ -165,7 +169,7 @@ def main():
     spa = TARGET_PHOTONS / total_area
     cfg = PhotonConfig(
         samples_per_area=spa, photons_per_batch=BATCH, seed=0,
-        device_rng=DEVICE_RNG,
+        device_rng=DEVICE_RNG, splat=SPLAT,
     )
     rects = pack_rects(scene.walls)
     emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)

@@ -47,10 +47,12 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--splat",
-        choices=["fused", "inkernel", "bucket", "bucket_exact", "scatter"],
+        choices=["fused", "fused_i8", "inkernel", "inkernel_i8", "bucket",
+                 "bucket_exact", "scatter"],
         default=DEFAULT_CONFIG.photon.splat,
         help="deposit splat strategy for the Pallas engines ('inkernel' "
-        "fuses the MXU binning into the wide trace kernel)",
+        "fuses the MXU binning into the wide trace kernel; 'fused_i8' "
+        "runs the binning at int8 MXU rate with dithered 7-bit colors)",
     )
     p.add_argument(
         "--radiosity-rays",

@@ -74,7 +74,13 @@ class PhotonConfig:
     # accumulator (deposits never touch HBM; splat MXU work overlaps trace
     # VPU work — fastest, wide engine only), "fused" = separate Pallas
     # one-hot MXU binning pass (colors quantize to bf16 once, far below MC
-    # noise, same as inkernel), "bucket" = XLA one-hot binning,
+    # noise, same as inkernel), "fused_i8" = the same pass at int8 MXU
+    # rate (2x bf16 on v5e): colors quantize to a 7-bit grid with
+    # deterministic unbiased dithering, binning is exact int32 — the extra
+    # quantization noise is MC-noise-level (gated vs the f32 splat in
+    # tests), "inkernel_i8" = the in-kernel binning at int8 rate (same
+    # quantization; the splat MXU work overlaps the trace VPU work inside
+    # one instruction stream), "bucket" = XLA one-hot binning,
     # "bucket_exact" = two-pass f32-precision binning, "scatter" = XLA
     # scatter-add (exact, slow — the XLA engine always uses this).
     splat: str = "fused"

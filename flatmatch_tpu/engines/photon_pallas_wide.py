@@ -51,6 +51,13 @@ _MISS = 1e30
 LANES = 128
 
 
+def splat_color_scale(cfg: PhotonConfig) -> float:
+    """7-bit quantization grid for the int8 splat variants: deposit colors
+    only attenuate from the emission color (photonmap.cl:236-254), so the
+    brightest emitter channel / 127 bounds every deposit."""
+    return max(*cfg.window_color, *cfg.light_color) / 127.0
+
+
 def batch_seed(seed: int, global_batch):
     """int32 device-PRNG seed per (run seed, global batch index); the
     kernel additionally folds in its block id (pltpu.prng_seed varargs)."""
@@ -80,7 +87,7 @@ def device_seed(seed, ax):
 
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
-                 chains: int = 1, fuse_h: int = 0):
+                 chains: int = 1, fuse_h: int = 0, i8: bool = False):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -254,23 +261,33 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                     front = jnp.logical_xor(da_neg, sn < 0)
                     u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
                     v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
-                    valid = (
-                        front
-                        & (fac >= 0)
-                        & (u >= 0)
-                        & (u <= scene_ref[A_WLEN, j])
-                        & (v >= 0)
-                        & (v <= scene_ref[A_HLEN, j])
+                    # min-tree form of fac>=0 & 0<=u<=wlen & 0<=v<=hlen:
+                    # IEEE-exact equivalent of the compare-and chain at 8
+                    # VPU ops instead of 10 (wlen-u >= 0 <=> u <= wlen for
+                    # f32 — subtraction is exactly rounded, so the sign is
+                    # exact; NaN propagates through minimum and fails >= 0,
+                    # matching the failed compares)
+                    valid = front & (
+                        jnp.minimum(
+                            jnp.minimum(fac, u),
+                            jnp.minimum(
+                                scene_ref[A_WLEN, j] - u,
+                                jnp.minimum(v, scene_ref[A_HLEN, j] - v),
+                            ),
+                        )
+                        >= 0
                     )
                     dist = jnp.where(valid, fac, _MISS)
                     upd = dist < best
                     wt = scene_ref[A_WT, j]
-                    tx = jnp.clip(
-                        jnp.floor(u * scene_ref[A_KTU, j]), 0.0, wt - 1.0
+                    # lower clip dropped: winning lanes (upd) are valid, so
+                    # u, v >= 0 there; losing lanes' texel is discarded by
+                    # the select below
+                    tx = jnp.minimum(
+                        jnp.floor(u * scene_ref[A_KTU, j]), wt - 1.0
                     )
-                    ty = jnp.clip(
+                    ty = jnp.minimum(
                         jnp.floor(v * scene_ref[A_KTV, j]),
-                        0.0,
                         scene_ref[A_HT, j] - 1.0,
                     )
                     texel = scene_ref[A_BASE, j] + ty * wt + tx
@@ -414,29 +431,79 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                 # the color-weighted one-hot of its lane (lo). Colors
                 # quantize to bf16 once (as in ops/splat_pallas); the
                 # one-hots are exact; accumulation is f32 on the MXU.
+                # With i8, colors instead quantize to the 7-bit emitter
+                # grid with deterministic unbiased dithering (keyed by the
+                # unique per-batch deposit id gid*D+d, like
+                # ops/splat_pallas.dither01) and the contraction runs at
+                # int8 MXU rate (2x) with an exact int32 accumulator.
                 texi = jnp.where(alive > 0, btex, 0.0).astype(jnp.int32)
-                car = (cr * alive).astype(jnp.bfloat16)
-                cag = (cg * alive).astype(jnp.bfloat16)
-                cab = (cb * alive).astype(jnp.bfloat16)
+                if i8:
+                    inv_s = np.float32(1.0 / splat_color_scale(cfg))
+                    depkey = gid * jnp.int32(3 * D) + jnp.int32(3 * d)
+
+                    def dith(key):
+                        x = key * jnp.int32(-1640531527)
+                        x = x ^ jax.lax.shift_right_logical(x, 16)
+                        x = x * jnp.int32(-2048144789)
+                        x = x ^ jax.lax.shift_right_logical(x, 13)
+                        x = x * jnp.int32(-1028477387)
+                        x = x ^ jax.lax.shift_right_logical(x, 16)
+                        return (
+                            jax.lax.shift_right_logical(x, 8)
+                            .astype(jnp.float32)
+                            * jnp.float32(1.0 / (1 << 24))
+                        )
+
+                    def q(c, ch):
+                        return jnp.clip(
+                            jnp.floor(
+                                c * alive * inv_s
+                                + dith(depkey + jnp.int32(ch))
+                            ),
+                            0.0, 127.0,
+                        ).astype(jnp.int32)
+
+                    car, cag, cab = q(cr, 0), q(cg, 1), q(cb, 2)
+                else:
+                    car = (cr * alive).astype(jnp.bfloat16)
+                    cag = (cg * alive).astype(jnp.bfloat16)
+                    cab = (cb * alive).astype(jnp.bfloat16)
                 for s in range(S):
                     row = texi[s:s + 1, :]                      # [1, K]
                     hi = jax.lax.shift_right_logical(row, 7)
                     lo = jnp.bitwise_and(row, LANES - 1)
-                    ohT = (iota_h == hi).astype(jnp.bfloat16)   # [H, K]
-                    ohlo = (iota_j == lo).astype(jnp.bfloat16)  # [K, K]
-                    x2 = jnp.concatenate(
-                        [
-                            ohlo * car[s:s + 1, :],
-                            ohlo * cag[s:s + 1, :],
-                            ohlo * cab[s:s + 1, :],
-                        ],
-                        axis=0,
-                    )                                           # [3*K, K]
-                    acc = acc + jax.lax.dot_general(
-                        ohT, x2,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    if i8:
+                        ohT = (iota_h == hi).astype(jnp.int8)   # [H, K]
+                        ohlo = iota_j == lo                     # [K, K]
+                        x2 = jnp.concatenate(
+                            [
+                                jnp.where(ohlo, car[s:s + 1, :], 0),
+                                jnp.where(ohlo, cag[s:s + 1, :], 0),
+                                jnp.where(ohlo, cab[s:s + 1, :], 0),
+                            ],
+                            axis=0,
+                        ).astype(jnp.int8)                      # [3*K, K]
+                        acc = acc + jax.lax.dot_general(
+                            ohT, x2,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                    else:
+                        ohT = (iota_h == hi).astype(jnp.bfloat16)
+                        ohlo = (iota_j == lo).astype(jnp.bfloat16)
+                        x2 = jnp.concatenate(
+                            [
+                                ohlo * car[s:s + 1, :],
+                                ohlo * cag[s:s + 1, :],
+                                ohlo * cab[s:s + 1, :],
+                            ],
+                            axis=0,
+                        )                                       # [3*K, K]
+                        acc = acc + jax.lax.dot_general(
+                            ohT, x2,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
             else:
                 idx_ref[pl.ds(d * S, S), :] = jnp.where(
                     alive > 0, btex, 0.0
@@ -634,7 +701,7 @@ def acc_to_lightmap(acc: jnp.ndarray, num_texels: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
-                     "unroll", "chains"),
+                     "unroll", "chains", "i8"),
 )
 def trace_splat_wide(
     aa_fields: jnp.ndarray,
@@ -647,12 +714,15 @@ def trace_splat_wide(
     sublanes: int = 8,
     unroll: int = 4,
     chains: int = 1,
+    i8: bool = False,
 ):
     """Fused trace+splat batch (cfg.splat == "inkernel"): returns the
     [num_texels, 3] lightmap increment directly — the deposit stream never
     leaves VMEM. Same draws and physics as trace_deposits_wide +
     ops/splat_pallas.fused_splat; per-texel sums differ only by f32
-    accumulation order."""
+    accumulation order. With `i8` (cfg.splat == "inkernel_i8") the in-kernel
+    binning runs at int8 MXU rate over dither-quantized 7-bit colors with an
+    exact int32 accumulator, de-scaled once here."""
     B, U = uniforms.shape
     S = int(sublanes)
     TB = S * LANES
@@ -666,7 +736,7 @@ def trace_splat_wide(
         .reshape(n_blocks * U * S, LANES)
     )
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll,
-                          chains=chains, fuse_h=H)
+                          chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     N = aa_fields.shape[1]
     acc = pl.pallas_call(
@@ -681,15 +751,19 @@ def trace_splat_wide(
         ],
         out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (H, 3 * LANES), jnp.int32 if i8 else jnp.float32
+        ),
     )(em_vec, nvalid_arr, aa_fields, u_wide)
+    if i8:
+        acc = acc.astype(jnp.float32) * jnp.float32(splat_color_scale(cfg))
     return acc_to_lightmap(acc, num_texels)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
-                     "unroll", "batch_size", "chains"),
+                     "unroll", "batch_size", "chains", "i8"),
 )
 def trace_splat_wide_rng(
     aa_fields: jnp.ndarray,
@@ -703,6 +777,7 @@ def trace_splat_wide_rng(
     sublanes: int = 8,
     unroll: int = 4,
     chains: int = 1,
+    i8: bool = False,
 ):
     """trace_splat_wide with the in-kernel counter-hash PRNG (cfg.device_rng):
     neither uniforms nor deposits touch HBM — the only per-batch HBM traffic
@@ -717,7 +792,7 @@ def trace_splat_wide_rng(
     H = _acc_h(num_texels)
 
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
-                          chains=chains, fuse_h=H)
+                          chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     seed_arr = jnp.full((1, 1), seed, jnp.int32)
     N = aa_fields.shape[1]
@@ -732,8 +807,12 @@ def trace_splat_wide_rng(
         ],
         out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (H, 3 * LANES), jnp.int32 if i8 else jnp.float32
+        ),
     )(em_vec, nvalid_arr, aa_fields, seed_arr)
+    if i8:
+        acc = acc.astype(jnp.float32) * jnp.float32(splat_color_scale(cfg))
     return acc_to_lightmap(acc, num_texels)
 
 
@@ -855,8 +934,8 @@ def compact_aa(aa: AARectsDev, num_texels: int):
 def _splat(lightmap, idx, col, cfg: PhotonConfig):
     if cfg.splat == "scatter":
         return lightmap.at[idx].add(col)
-    if cfg.splat == "fused":
-        from ..ops.splat_pallas import fused_splat
+    if cfg.splat in ("fused", "fused_i8"):
+        from ..ops.splat_pallas import fused_splat, fused_splat_i8
 
         # K per MXU pass: deep passes amortize the [H,384] accumulator add
         # (profiled: the splat is ~70% of photon-loop device time and ~40%
@@ -868,6 +947,11 @@ def _splat(lightmap, idx, col, cfg: PhotonConfig):
         depth = 512 if int(cfg.photons_per_batch) * cfg.max_depth >= (
             512 * 128
         ) else 128
+        if cfg.splat == "fused_i8":
+            return lightmap + fused_splat_i8(
+                idx, col, lightmap.shape[0],
+                scale=splat_color_scale(cfg), depth=depth,
+            )
         return lightmap + fused_splat(
             idx, col, lightmap.shape[0], depth=depth
         )
@@ -882,10 +966,10 @@ def trace_batch_wide(
     lightmap, aa: AARectsDev, em_vec, uniforms, n_valid, cfg: PhotonConfig,
     sublanes: int = 8,
 ):
-    if cfg.splat == "inkernel":
+    if cfg.splat in ("inkernel", "inkernel_i8"):
         return lightmap + trace_splat_wide(
             aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts,
-            lightmap.shape[0], sublanes,
+            lightmap.shape[0], sublanes, i8=(cfg.splat == "inkernel_i8"),
         )
     idx, col = trace_deposits_wide(
         aa.fields, em_vec, uniforms, n_valid, cfg, aa.group_counts, sublanes
@@ -916,13 +1000,14 @@ def _trace_emitter_wide(
             last_batch_valid,
             jnp.int32(batch_size),
         )
-        if cfg.splat == "inkernel":
+        if cfg.splat in ("inkernel", "inkernel_i8"):
+            i8 = cfg.splat == "inkernel_i8"
             if cfg.device_rng:
                 return lm + trace_splat_wide_rng(
                     aa_fields, em_vec,
                     batch_seed(cfg.seed, base_batch + abs_i), n_valid, cfg,
                     group_counts, lm.shape[0], batch_size, sublanes,
-                    chains=chains,
+                    chains=chains, i8=i8,
                 )
             k = jax.random.fold_in(key, base_batch + abs_i)
             uniforms = jax.random.uniform(
@@ -930,7 +1015,7 @@ def _trace_emitter_wide(
             )
             return lm + trace_splat_wide(
                 aa_fields, em_vec, uniforms, n_valid, cfg, group_counts,
-                lm.shape[0], sublanes, chains=chains,
+                lm.shape[0], sublanes, chains=chains, i8=i8,
             )
         if cfg.device_rng:
             idx, col = trace_deposits_wide_rng(
@@ -977,18 +1062,19 @@ def _render_all_wide(
 
     def one_batch(lm, ev, i, n_valid, bsz):
         """Trace+splat batch `i` (absolute index) at physical size `bsz`."""
-        if cfg.splat == "inkernel":
+        if cfg.splat in ("inkernel", "inkernel_i8"):
+            i8 = cfg.splat == "inkernel_i8"
             if cfg.device_rng:
                 return lm + trace_splat_wide_rng(
                     aa_fields, ev, batch_seed(cfg.seed, i),
                     n_valid, cfg, group_counts, num_texels, bsz,
-                    sublanes, chains=chains,
+                    sublanes, chains=chains, i8=i8,
                 )
             k = jax.random.fold_in(key, i)
             u = jax.random.uniform(k, (bsz, U), dtype=jnp.float32)
             return lm + trace_splat_wide(
                 aa_fields, ev, u, n_valid, cfg, group_counts,
-                num_texels, sublanes, chains=chains,
+                num_texels, sublanes, chains=chains, i8=i8,
             )
         if cfg.device_rng:
             idx, col = trace_deposits_wide_rng(

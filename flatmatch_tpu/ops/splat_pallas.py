@@ -46,6 +46,30 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _fmix32(x):
+    """murmur3 finalizer (same mixer as the trace kernel's device RNG)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)   # 0x85ebca6b
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
+    return x ^ jax.lax.shift_right_logical(x, 16)
+
+
+def dither01(n, channels=3):
+    """Deterministic per-(row, channel) dither in [0, 1): top 24 bits of a
+    murmur3-fmix32 counter hash. Keyed by the row index alone so a shorter
+    deposit stream (peeled tail batch, checkpoint segment) sees the same
+    leading values — the bit-identity contract of the callers."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, channels), 0) * jnp.int32(
+        channels
+    ) + jax.lax.broadcasted_iota(jnp.int32, (n, channels), 1)
+    x = _fmix32(c * jnp.int32(-1640531527))
+    return (
+        jax.lax.shift_right_logical(x, 8).astype(jnp.float32)
+        * jnp.float32(1.0 / (1 << 24))
+    )
+
+
 def _make_kernel(H: int, G: int, K: int):
     def kernel(idx_row_ref, idx_col_ref, cr_ref, cg_ref, cb_ref, acc_ref):
         @pl.when(pl.program_id(0) == 0)
@@ -76,6 +100,117 @@ def _make_kernel(H: int, G: int, K: int):
         acc_ref[:] = acc
 
     return kernel
+
+
+def _make_kernel_i8(H: int, G: int, K: int):
+    """int8 twin of _make_kernel: one-hots are exact in int8, colors arrive
+    pre-quantized to [0, 127] (int32 storage for clean tiling; cast to int8
+    in-kernel), the accumulator is int32 — EXACT integer binning of the
+    quantized colors. The MXU runs int8 at 2x its bf16 rate (v5e: 394 vs
+    197 T), and the splat is MXU-MAC-bound, so this halves its cost."""
+    def kernel(idx_row_ref, idx_col_ref, cr_ref, cg_ref, cb_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, K), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (K, LO), 1)
+        acc = acc_ref[:]
+        for g in range(G):
+            hi_row = idx_row_ref[g:g + 1, :] // LO             # [1, K]
+            ohT = (hi_row == iota_h).astype(jnp.int8)          # [H, K]
+            lo_col = idx_col_ref[:, g:g + 1] % LO              # [K, 1]
+            xj = lo_col == iota_j                              # [K, LO]
+            x = jnp.concatenate(
+                [
+                    jnp.where(xj, cr_ref[:, g:g + 1], 0).astype(jnp.int8),
+                    jnp.where(xj, cg_ref[:, g:g + 1], 0).astype(jnp.int8),
+                    jnp.where(xj, cb_ref[:, g:g + 1], 0).astype(jnp.int8),
+                ],
+                axis=1,
+            )                                                  # [K, 3*LO]
+            acc = acc + jax.lax.dot_general(
+                ohT, x,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        acc_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_texels", "scale", "groups", "depth")
+)
+def fused_splat_i8(
+    idx: jnp.ndarray,
+    col: jnp.ndarray,
+    num_texels: int,
+    scale: float,
+    groups: int = 128,
+    depth: int = 128,
+) -> jnp.ndarray:
+    """fused_splat at int8 MXU rate (2x bf16 on v5e): colors quantize to a
+    7-bit grid of spacing `scale` with deterministic unbiased dithering,
+    the binning itself is EXACT int32 integer arithmetic, and the result is
+    de-scaled once at the end.
+
+    `scale` must satisfy max(col) <= 127*scale (the photon engines pass
+    max emitter channel / 127; deposit colors only attenuate from emission,
+    photonmap.cl:236-254). Quantization: q = floor(c/scale + u) with u a
+    per-(row, channel) counter-hash uniform — exactly unbiased (E[q*scale]
+    = c), deterministic, and zero-preserving (masked deposits stay +0).
+    Per-deposit error is uniform in (-scale, scale); over the thousands of
+    deposits a texel accumulates it behaves as extra Monte-Carlo noise
+    (~scale/sqrt(12) per deposit) rather than bias, unlike round-to-nearest
+    whose error correlates with the discrete set of deposit colors.
+    """
+    assert groups % 128 == 0, groups
+    assert depth % 128 == 0, depth
+    K = depth
+    R = idx.shape[0]
+    t_pad = _round_up(num_texels, LO)
+    H = _round_up(t_pad // LO, 8)
+    step = K * groups
+    r_pad = _round_up(R, step)
+
+    inv = jnp.float32(1.0 / scale)
+    colq = jnp.clip(
+        jnp.floor(col * inv + dither01(R)), 0.0, 127.0
+    ).astype(jnp.int32)
+    if r_pad != R:
+        idx = jnp.pad(idx, (0, r_pad - R))
+        colq = jnp.pad(colq, ((0, r_pad - R), (0, 0)))
+    n_groups = r_pad // K
+
+    idx_row = idx.reshape(n_groups, K)
+    idx_col = idx_row.T
+    colT = colq.reshape(n_groups, K, 3).transpose(1, 0, 2)
+
+    kernel = _make_kernel_i8(H, groups, K)
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_groups // groups,),
+        in_specs=[
+            pl.BlockSpec((groups, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, groups), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LO), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LO), jnp.int32),
+    )(idx_row, idx_col, colT[..., 0], colT[..., 1], colT[..., 2])
+    out = (
+        acc.astype(jnp.float32) * jnp.float32(scale)
+    ).reshape(H, 3, LO).transpose(0, 2, 1).reshape(H * LO, 3)
+    return out[:num_texels]
 
 
 @functools.partial(

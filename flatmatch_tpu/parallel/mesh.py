@@ -168,16 +168,17 @@ def _trace_emitter_sharded_wide(
                 # cancel against the kernel's rgid*C counter term and make
                 # the device streams shifted copies (see device_seed)
                 seed = device_seed(batch_seed(cfg.seed, base_batch + abs_i), ax)
-                if cfg.splat == "inkernel":
+                if cfg.splat in ("inkernel", "inkernel_i8"):
                     return lm + trace_splat_wide_rng(
                         aa_fields, em_vec, seed, n_valid_local, cfg,
                         group_counts, lm.shape[0], b_local, sublanes,
+                        i8=(cfg.splat == "inkernel_i8"),
                     )
                 idx, col = trace_deposits_wide_rng(
                     aa_fields, em_vec, seed, n_valid_local, cfg,
                     group_counts, b_local, sublanes,
                 )
-            elif cfg.splat == "inkernel":
+            elif cfg.splat in ("inkernel", "inkernel_i8"):
                 from ..engines.photon_pallas_wide import trace_splat_wide
 
                 k = jax.random.fold_in(key, base_batch + abs_i)
@@ -188,6 +189,7 @@ def _trace_emitter_sharded_wide(
                 return lm + trace_splat_wide(
                     aa_fields, em_vec, uniforms, n_valid_local, cfg,
                     group_counts, lm.shape[0], sublanes,
+                    i8=(cfg.splat == "inkernel_i8"),
                 )
             else:
                 k = jax.random.fold_in(key, base_batch + abs_i)

@@ -234,6 +234,20 @@ def test_rest_server_round_trip(tmp_path):
         assert json.loads(
             urllib.request.urlopen(f"{base}/offers").read()
         ) == [7]
+        # WebGL walkthrough page: consumes the same REST contract
+        # (offer geometry quads + base64 lightmap tiles, geometry.c:57-90)
+        r = urllib.request.urlopen(f"{base}/walk?id=7")
+        assert r.headers["Content-Type"].startswith("text/html")
+        walk = r.read().decode()
+        for needle in (
+            "getContext(\"webgl\")",
+            "rest/get/offer/",
+            "rest/get/textures/",
+            "startingPosition",
+            "lay.geometry",
+            "lay.box",
+        ):
+            assert needle in walk, needle
         for bad in (
             "/rest/get/offer/8",          # missing id
             "/rest/get/offer/../offer/7",  # traversal

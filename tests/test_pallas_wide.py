@@ -271,6 +271,72 @@ def test_wide_bucket_splat_modes(tiny, splat, rtol):
     np.testing.assert_allclose(got, ref, rtol=rtol, atol=rtol * 10)
 
 
+def test_wide_splat_i8_matches_fused_statistically(tiny):
+    """cfg.splat='fused_i8' on identical deposits: energy is unbiased
+    (dithered quantization) and per-texel error stays at the 7-bit grid's
+    noise level; the run is deterministic."""
+    import dataclasses
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    B = 512
+    U = photon.uniforms_per_photon(CFG.max_depth)
+    uniforms = jax.random.uniform(
+        jax.random.PRNGKey(6), (B, U), dtype=np.float32
+    )
+    em = photon.EmitterSlice(
+        pos=emitters.pos[0], wvec=emitters.wvec[0], hvec=emitters.hvec[0],
+        n=emitters.n[0], color=emitters.color[0],
+        is_window=emitters.is_window[0],
+    )
+    lm0 = jnp.zeros((scene.num_texels, 3), jnp.float32)
+    ev = photon_pallas.emitter_vector(em)
+    cfg_i8 = dataclasses.replace(CFG, splat="fused_i8")
+    scale = photon_pallas_wide.splat_color_scale(cfg_i8)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, CFG, sublanes=4
+            )
+        )
+        got = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, cfg_i8, sublanes=4
+            )
+        )
+        again = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, cfg_i8, sublanes=4
+            )
+        )
+    np.testing.assert_array_equal(got, again)
+    # unbiased: total energy within MC-noise of the f32 splat
+    np.testing.assert_allclose(got.sum(), ref.sum(), rtol=2e-3)
+    # per-texel: bounded by the grid step times the deposit multiplicity
+    assert np.abs(got - ref).max() < scale * 40  # few deposits/texel here
+    assert np.abs(got - ref).mean() < scale
+
+    # the in-kernel int8 variant (splat fused INTO the trace kernel):
+    # same quantization grid, different (self-consistent) dither keying —
+    # statistically identical, deterministic
+    cfg_ik8 = dataclasses.replace(CFG, splat="inkernel_i8")
+    with pltpu.force_tpu_interpret_mode():
+        ik = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, cfg_ik8, sublanes=4
+            )
+        )
+        ik2 = np.asarray(
+            photon_pallas_wide.trace_batch_wide(
+                lm0, aa, ev, uniforms, B, cfg_ik8, sublanes=4
+            )
+        )
+    np.testing.assert_array_equal(ik, ik2)
+    np.testing.assert_allclose(ik.sum(), ref.sum(), rtol=2e-3)
+    assert np.abs(ik - ref).max() < scale * 40
+    assert np.abs(ik - ref).mean() < scale
+
+
 def test_tail_shrink_bit_identical(tiny):
     """The whole-schedule fast path peels each emitter's tail batch and
     launches it on a shrunk grid (device-RNG path): counters depend only on
