@@ -49,10 +49,16 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         "--splat",
         choices=["fused", "fused_i8", "inkernel", "inkernel_i8", "bucket",
                  "bucket_exact", "scatter"],
-        default=DEFAULT_CONFIG.photon.splat,
-        help="deposit splat strategy for the Pallas engines ('inkernel' "
-        "fuses the MXU binning into the wide trace kernel; 'fused_i8' "
-        "runs the binning at int8 MXU rate with dithered 7-bit colors)",
+        # production default: the binning fused INTO the trace kernel at
+        # int8 MXU rate (fastest measured; unbiased dithered 7-bit colors,
+        # gated on chip by tools/validate_i8.py: energy err 0.06%, texel
+        # corr 0.999999 on example.png). The library default (config.py)
+        # stays "fused" (bf16, f32-grade) for diff-path gradient exactness.
+        default="inkernel_i8",
+        help="deposit splat strategy for the Pallas engines ('inkernel*' "
+        "fuses the MXU binning into the wide trace kernel; '*_i8' runs "
+        "the binning at int8 MXU rate with dithered 7-bit colors — "
+        "fastest, quantization noise far below MC noise)",
     )
     p.add_argument(
         "--radiosity-rays",

@@ -268,6 +268,28 @@ async function main(){
     batches.push({buf,tex:null,flat:1});
   }
 
+  // collision: decode the RLE collisionMap (row-major over the layout
+  // raster; FIRST run impassable, even indices impassable,
+  // parseLayout.c:538-569) and block walking into dilated walls
+  const imSize = lay.layoutImageSize || [0, 0];
+  const W = imSize[0], HPix = imSize[1];
+  let passable = null;
+  if (offer.collisionMap && W > 0) {
+    passable = new Uint8Array(W * HPix);
+    let at = 0, pass = 0;               // run 0 is impassable
+    for (const run of offer.collisionMap) {
+      passable.fill(pass, at, at + run);
+      at += run; pass = 1 - pass;
+    }
+  }
+  const pxScale = offer.scale || 30;     // layout pixels per meter
+  function canStand(x, y) {
+    if (!passable) return true;
+    const px = Math.floor(x * pxScale), py = Math.floor(y * pxScale);
+    if (px < 0 || py < 0 || px >= W || py >= HPix) return false;
+    return passable[py * W + px] === 1;
+  }
+
   // camera: startingPosition (meters) at eye height, z-up FPS controls
   const eye=[lay.startingPosition[0], lay.startingPosition[1], 1.6];
   let yaw=0, pitch=0;
@@ -294,10 +316,14 @@ async function main(){
                Math.cos(pitch)*Math.sin(yaw), Math.sin(pitch)];
     const right=norm(cross(fwd,[0,0,1]));
     const sp=(keys.shift?4:1.8)*dt;
-    if(keys.w){eye[0]+=fwd[0]*sp;eye[1]+=fwd[1]*sp;}
-    if(keys.s){eye[0]-=fwd[0]*sp;eye[1]-=fwd[1]*sp;}
-    if(keys.d){eye[0]+=right[0]*sp;eye[1]+=right[1]*sp;}
-    if(keys.a){eye[0]-=right[0]*sp;eye[1]-=right[1]*sp;}
+    let mx=0,my=0;
+    if(keys.w){mx+=fwd[0]*sp;my+=fwd[1]*sp;}
+    if(keys.s){mx-=fwd[0]*sp;my-=fwd[1]*sp;}
+    if(keys.d){mx+=right[0]*sp;my+=right[1]*sp;}
+    if(keys.a){mx-=right[0]*sp;my-=right[1]*sp;}
+    // per-axis sliding collision against the RLE map
+    if(canStand(eye[0]+mx, eye[1])) eye[0]+=mx;
+    if(canStand(eye[0], eye[1]+my)) eye[1]+=my;
     if(keys.r) eye[2]+=sp;
     if(keys.f) eye[2]-=sp;
     canvas.width=innerWidth; canvas.height=innerHeight;

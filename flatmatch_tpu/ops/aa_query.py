@@ -56,23 +56,28 @@ def _make_kernel(group_counts, S: int):
                 front = jnp.logical_xor(da_neg, sn < 0)
                 u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
                 v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
-                valid = (
-                    front
-                    & (fac >= 0)
-                    & (u >= 0)
-                    & (u <= scene_ref[A_WLEN, j])
-                    & (v >= 0)
-                    & (v <= scene_ref[A_HLEN, j])
+                # min-tree bounds test + dropped lower texel clips: the
+                # IEEE-exact rewrite shared with the wide photon kernel
+                # (photon_pallas_wide.py) — bit-identical, ~10% fewer VPU
+                # ops per rect test
+                valid = front & (
+                    jnp.minimum(
+                        jnp.minimum(fac, u),
+                        jnp.minimum(
+                            scene_ref[A_WLEN, j] - u,
+                            jnp.minimum(v, scene_ref[A_HLEN, j] - v),
+                        ),
+                    )
+                    >= 0
                 )
                 dist = jnp.where(valid, fac, MISS)
                 upd = dist < best
                 wt = scene_ref[A_WT, j]
-                tx = jnp.clip(
-                    jnp.floor(u * scene_ref[A_KTU, j]), 0.0, wt - 1.0
+                tx = jnp.minimum(
+                    jnp.floor(u * scene_ref[A_KTU, j]), wt - 1.0
                 )
-                ty = jnp.clip(
+                ty = jnp.minimum(
                     jnp.floor(v * scene_ref[A_KTV, j]),
-                    0.0,
                     scene_ref[A_HT, j] - 1.0,
                 )
                 texel = scene_ref[A_BASE, j] + ty * wt + tx

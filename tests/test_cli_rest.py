@@ -246,6 +246,8 @@ def test_rest_server_round_trip(tmp_path):
             "startingPosition",
             "lay.geometry",
             "lay.box",
+            "offer.collisionMap",  # walks the RLE collision contract
+            "canStand",
         ):
             assert needle in walk, needle
         for bad in (
