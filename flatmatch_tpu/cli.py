@@ -40,8 +40,12 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     )
     p.add_argument(
         "--device-rng",
-        action="store_true",
-        default=DEFAULT_CONFIG.photon.device_rng,
+        action=argparse.BooleanOptionalAction,
+        # CLI production default ON (fastest, and the closest analog of
+        # the reference kernel generating its uniforms in-register,
+        # photonmap.cl:21-25). The library default (config.py) stays off:
+        # the threefry-tensor path is what shares draws with the oracle.
+        default=True,
         help="wide Pallas engine: generate uniforms in-kernel with a "
         "counter-hash PRNG (photonmap.cl:21-25 analog; fastest)",
     )

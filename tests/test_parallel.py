@@ -137,6 +137,28 @@ def test_sharded_wide_inkernel_matches_fused(tiny):
     assert got.sum() > 0
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
+    # the int8-rate variant under sharding: deterministic, unbiased
+    # (energy to MC tolerance), per-texel within the 7-bit grid's noise
+    from flatmatch_tpu.engines.photon_pallas_wide import splat_color_scale
+
+    cfg_i8 = dataclasses.replace(cfg, splat="inkernel_i8")
+    with pltpu.force_tpu_interpret_mode():
+        i8 = np.asarray(
+            render_photons_sharded_wide(
+                rects, ems, scene.num_texels, cfg_i8, aa, mesh,
+            )
+        )
+        i8b = np.asarray(
+            render_photons_sharded_wide(
+                rects, ems, scene.num_texels, cfg_i8, aa, mesh,
+            )
+        )
+    np.testing.assert_array_equal(i8, i8b)
+    np.testing.assert_allclose(i8.sum(), ref.sum(), rtol=2e-3)
+    scale = splat_color_scale(cfg_i8)
+    assert np.abs(i8 - ref).max() < scale * 40
+    assert np.abs(i8 - ref).mean() < scale
+
 
 def test_sharded_checkpoint_resume_bit_identical(tiny, tmp_path):
     """Sharded renders checkpoint/resume with the same bit-identity
