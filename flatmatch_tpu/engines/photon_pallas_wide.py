@@ -29,6 +29,7 @@ differences (see README "Engine parity model").
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -932,6 +933,16 @@ def compact_aa(aa: AARectsDev, num_texels: int):
 
 
 def _splat(lightmap, idx, col, cfg: PhotonConfig):
+    """Splat a deposit stream per cfg.splat. Callers that materialize the
+    stream (diff renderers, sharded deposit paths) land here even when
+    cfg.splat names an IN-KERNEL mode, so the inkernel* names map to their
+    standalone twins (same binning, same quantization grid)."""
+    splat = {"inkernel": "fused", "inkernel_i8": "fused_i8"}.get(
+        cfg.splat, cfg.splat
+    )
+    cfg = cfg if splat == cfg.splat else dataclasses.replace(
+        cfg, splat=splat
+    )
     if cfg.splat == "scatter":
         return lightmap.at[idx].add(col)
     if cfg.splat in ("fused", "fused_i8"):
