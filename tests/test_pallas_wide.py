@@ -337,16 +337,20 @@ def test_wide_splat_i8_matches_fused_statistically(tiny):
     assert np.abs(ik - ref).mean() < scale
 
 
-def test_tail_shrink_bit_identical(tiny):
+@pytest.mark.parametrize("splat", ["scatter", "inkernel_i8"])
+def test_tail_shrink_bit_identical(tiny, splat):
     """The whole-schedule fast path peels each emitter's tail batch and
     launches it on a shrunk grid (device-RNG path): counters depend only on
     (seed, batch, block), so dropping all-masked trailing blocks must be
-    bit-identical to the segmented full-batch path."""
+    bit-identical to the segmented full-batch path. 'inkernel_i8' is the
+    production CLI default — its dither keys (rgid*3D + 3d + ch) also
+    depend only on (batch seed, block, bounce), so the peel stays exact."""
     import dataclasses
 
     scene, rects, emitters = tiny
     cfg = dataclasses.replace(
-        CFG, photons_per_batch=1024, device_rng=True, samples_per_area=3000.0
+        CFG, photons_per_batch=1024, device_rng=True,
+        samples_per_area=3000.0, splat=splat,
     )
     em = pack_emitters(
         scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
