@@ -221,7 +221,52 @@ def main(argv=None) -> int:
     p_srv.add_argument("--host", default="127.0.0.1")
     p_srv.add_argument("--port", type=int, default=8000)
 
+    p_dbg = sub.add_parser(
+        "debug",
+        help="first-hit debug render with per-rect index colors (the "
+        "debugRaytracer.cc:108-200 harness as a command)",
+    )
+    p_dbg.add_argument("layout", help="layout PNG path")
+    p_dbg.add_argument("scale", nargs="?", type=float, default=30.0)
+    p_dbg.add_argument("--out", default="image.png",
+                       help="output PNG (reference wrote image.png)")
+    p_dbg.add_argument("--width", type=int, default=1024)
+    p_dbg.add_argument("--height", type=int, default=768)
+    p_dbg.add_argument("--pos", type=float, nargs=3, default=None,
+                       metavar=("X", "Y", "Z"),
+                       help="camera position in meters (default: the "
+                       "scene's startingPosition at eye height)")
+    p_dbg.add_argument("--dir", type=float, nargs=3, default=(1.0, 1.0, 0.0),
+                       metavar=("DX", "DY", "DZ"), dest="direction")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "debug":
+        import numpy as _np
+        from PIL import Image as _PILImage
+
+        from .debug.raytrace import Camera, render_first_hit
+        from .ops.device_scene import pack_rects
+        from .scene import geometry as _geo, image as _im, layout as _lay
+        from .utils.progress import info
+
+        img = _im.load_layout(args.layout)
+        lay = _lay.parse_layout(
+            img, _np.float32(1.0) / _np.float32(args.scale), 200.0
+        )
+        scene = _geo.Scene(lay)
+        pos = args.pos if args.pos is not None else (
+            lay.starting_position[0], lay.starting_position[1], 1.6
+        )
+        cam = Camera(
+            position=tuple(pos), direction=tuple(args.direction),
+            width=args.width, height=args.height,
+        )
+        rgba = render_first_hit(scene, pack_rects(scene.walls), cam)
+        _PILImage.fromarray(rgba, "RGBA").save(args.out)
+        info(f"wrote {args.out} ({args.width}x{args.height}, "
+             f"{len(scene.walls)} rects)")
+        return 0
 
     if args.cmd == "serve":
         from .io.rest import make_rest_server

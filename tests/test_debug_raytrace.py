@@ -48,3 +48,22 @@ def test_render_deterministic(mini):
     a = render_first_hit(scene, rects, cam)
     b = render_first_hit(scene, rects, cam)
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_debug_command(tmp_path):
+    """`cli debug` writes the first-hit PNG from the starting position
+    (the debugRaytracer.cc harness as a user-reachable command)."""
+    from PIL import Image
+
+    from flatmatch_tpu.cli import main
+
+    out = tmp_path / "dbg.png"
+    rc = main([
+        "debug", str(FIXTURES / "mini.png"), "30",
+        "--out", str(out), "--width", "192", "--height", "128",
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open(out))
+    assert img.shape == (128, 192, 4)
+    assert (img[..., 3] == 255).all()  # interior camera: every ray hits
+    assert len(np.unique(img[..., :3].reshape(-1, 3), axis=0)) >= 3
