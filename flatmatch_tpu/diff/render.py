@@ -301,8 +301,12 @@ def make_diff_renderer_wide(
     """
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
-        LANES, _splat, trace_deposits_wide_diff,
+        LANES, _splat, exact_splat_cfg, trace_deposits_wide_diff,
     )
+
+    # the diff tier never quantizes: demote int8 splats (deposit colors
+    # carry the free `power` factor, which can exceed the 7-bit grid)
+    cfg = exact_splat_cfg(cfg)
 
     D = cfg.max_depth
     S = int(sublanes)
@@ -424,8 +428,12 @@ def make_diff_renderer_sharded_wide(
 
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
-        LANES, _splat, trace_deposits_wide_diff,
+        LANES, _splat, exact_splat_cfg, trace_deposits_wide_diff,
     )
+
+    # the diff tier never quantizes: demote int8 splats (deposit colors
+    # carry the free `power` factor, which can exceed the 7-bit grid)
+    cfg = exact_splat_cfg(cfg)
 
     shard_map = jax.shard_map
     n_dev = mesh.shape["photons"]

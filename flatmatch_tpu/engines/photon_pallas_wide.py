@@ -932,6 +932,20 @@ def compact_aa(aa: AARectsDev, num_texels: int):
     return aa_c, total, expand
 
 
+def exact_splat_cfg(cfg: PhotonConfig) -> PhotonConfig:
+    """cfg with any int8 splat demoted to its bf16 (f32-grade) twin.
+
+    The differentiable renderers use this: their deposit colors carry the
+    free `power` parameter (diff/render.py em_vec_scaled), which can exceed
+    the fixed 7-bit emitter grid (splat_color_scale) and would CLIP — a
+    silent bias in the fitted forward. The diff tier is the exact tier by
+    design, so it never quantizes."""
+    m = {"fused_i8": "fused", "inkernel_i8": "inkernel"}
+    if cfg.splat in m:
+        return dataclasses.replace(cfg, splat=m[cfg.splat])
+    return cfg
+
+
 def _splat(lightmap, idx, col, cfg: PhotonConfig):
     """Splat a deposit stream per cfg.splat. Callers that materialize the
     stream (diff renderers, sharded deposit paths) land here even when

@@ -96,6 +96,42 @@ def test_wide_diff_forward_matches_wide_engine(setup):
     np.testing.assert_array_equal(lm_diff, lm_plain)
 
 
+def test_wide_diff_demotes_int8_splat(setup):
+    """The diff tier never quantizes: with cfg.splat='fused_i8' (or the
+    production 'inkernel_i8'), a power > 1 would push deposit colors past
+    the fixed 7-bit grid and CLIP silently. exact_splat_cfg demotes the
+    splat, so the forward at power=2 must match the f32-grade splat."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    power2 = power0 * 2.0
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            make_diff_renderer_wide(
+                rects, emitters, scene.num_texels,
+                dataclasses.replace(CFG, splat="scatter"), aa, sublanes=1,
+            )(albedo0, power2)
+        )
+        got = np.asarray(
+            make_diff_renderer_wide(
+                rects, emitters, scene.num_texels,
+                dataclasses.replace(CFG, splat="inkernel_i8"), aa,
+                sublanes=1,
+            )(albedo0, power2)
+        )
+    # bf16-fused vs scatter: color-quantization-level agreement only —
+    # but NO clipping: total energy must match (clipping would lose ~12%
+    # of the bright first-bounce deposits at power=2)
+    np.testing.assert_allclose(got.sum(), ref.sum(), rtol=3e-3)
+    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=6e-3 * 36)
+
+
 def test_wide_diff_gradients_match_oracle(setup):
     """VERDICT r1 #3: gradients on the production wide kernel match the
     autodiff oracle (same draws, XLA engine) at rtol 1e-3."""
