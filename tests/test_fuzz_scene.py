@@ -18,7 +18,7 @@ from PIL import Image
 
 from flatmatch_tpu.scene import geometry, image as im, layout
 from flatmatch_tpu.scene.collision import build_collision_map
-from flatmatch_tpu.scene.rectangle import num_mipmap_texels, num_tiles
+from flatmatch_tpu.scene.rectangle import num_mipmap_texels
 
 f32 = np.float32
 
