@@ -563,7 +563,7 @@ def trace_deposits_wide_rng(
     group_counts,
     batch_size: int,
     sublanes: int = 8,
-    unroll: int = 4,
+    unroll: int = None,
     chains: int = 1,
 ):
     """trace_deposits_wide with the device PRNG: no uniforms tensor at all.
@@ -578,6 +578,12 @@ def trace_deposits_wide_rng(
     D = cfg.max_depth
     U = uniforms_per_photon(D)
 
+    if unroll is None:
+        # platform-resolved: 8 on hardware (+2% photons/s measured; 16
+        # blew the compile budget), 4 elsewhere (interpret-mode compiles
+        # roughly double at 8). Bit-identical either way — the unrolled
+        # loop tests rects in the same order.
+        unroll = 8 if jax.default_backend() == "tpu" else 4
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
                           chains=chains)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
@@ -776,13 +782,20 @@ def trace_splat_wide_rng(
     num_texels: int,
     batch_size: int,
     sublanes: int = 8,
-    unroll: int = 4,
+    unroll: int = None,
     chains: int = 1,
     i8: bool = False,
 ):
     """trace_splat_wide with the in-kernel counter-hash PRNG (cfg.device_rng):
     neither uniforms nor deposits touch HBM — the only per-batch HBM traffic
-    is the final accumulator writeback."""
+    is the final accumulator writeback.
+
+    unroll on the device-RNG (production) wrappers resolves by platform:
+    8 on hardware (+2% photons/s measured, 44.6M at the bench budget;
+    sweep 4/8/16 — 16 blew the compile budget), 4 under interpret mode
+    where the 8-wide bodies roughly double XLA-CPU compile time. The
+    threefry wrappers stay at 4. Bit-identical in all cases (the
+    unrolled loop tests rects in the same order)."""
     B = int(batch_size)
     S = int(sublanes)
     TB = S * LANES
@@ -792,6 +805,8 @@ def trace_splat_wide_rng(
     U = uniforms_per_photon(D)
     H = _acc_h(num_texels)
 
+    if unroll is None:
+        unroll = 8 if jax.default_backend() == "tpu" else 4  # see above
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
                           chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
