@@ -31,50 +31,66 @@ BALCONY_WINDOW = (0, 127, 255)
 
 
 def _random_layout(seed: int, path):
-    """A row of 1-4 rooms behind a 2px wall shell; seeded and deterministic.
+    """A 1- or 2-row grid of rooms behind a 2px wall shell; seeded and
+    deterministic.
 
-    Room 0 always gets an outer-wall window (daylight); later rooms get a
-    window, a balcony window, or nothing (windowless rooms must receive a
-    synthetic ceiling light). Consecutive rooms connect through doors."""
+    Room (0,0) always gets an outer-wall window (daylight); other rooms
+    get a window, a balcony window, or nothing (windowless rooms must
+    receive a synthetic ceiling light). Horizontally adjacent rooms
+    connect through doors; in 2-row layouts (seeds >= 6) some vertical
+    neighbors connect too — the second row exercises the greedy area
+    decomposition and light placement on taller interiors."""
     rng = np.random.RandomState(seed)
     n_rooms = int(rng.randint(1, 5))
+    n_rows = 2 if seed >= 6 else 1
     widths = rng.randint(10, 26, size=n_rooms)
     height = int(rng.randint(14, 38))
     total_w = 6 + 2 + int(widths.sum()) + 2 * n_rooms + 6
-    total_h = 6 + 2 + height + 2 + 6
+    total_h = 6 + 2 + (height + 2) * n_rows + 6
     img = np.zeros((total_h, total_w, 3), np.uint8)
     img[:, :] = OUTSIDE
     img[6:total_h - 6, 6:total_w - 6] = WALL
 
-    y0, y1 = 8, 8 + height
-    x = 8
     win_kinds = []
-    for r in range(n_rooms):
-        x1 = x + int(widths[r])
-        img[y0:y1, x:x1] = EMPTY
-        if r == 0:
-            kind = WINDOW
-        else:
-            kind = [WINDOW, BALCONY_WINDOW, None][int(rng.randint(3))]
-        win_kinds.append(kind)
-        if kind is not None:
-            # window in the top outer wall band (rows 6..8 border OUTSIDE)
-            wx0 = x + 2 + int(rng.randint(max(1, widths[r] - 8)))
-            wx1 = min(x1 - 2, wx0 + int(rng.randint(3, 8)))
-            if wx1 > wx0:
-                img[6:8, wx0:wx1] = kind
-        if r > 0:
-            # door through the 2px wall between room r-1 and room r
-            dy0 = y0 + 2 + int(rng.randint(max(1, height - 10)))
-            dy1 = min(y1 - 2, dy0 + int(rng.randint(4, 9)))
-            if dy1 > dy0:
-                img[dy0:dy1, x - 2:x] = DOOR
-        x = x1 + 2
+    for row in range(n_rows):
+        y0 = 8 + row * (height + 2)
+        y1 = y0 + height
+        x = 8
+        for r in range(n_rooms):
+            x1 = x + int(widths[r])
+            img[y0:y1, x:x1] = EMPTY
+            if row == 0 and r == 0:
+                kind = WINDOW
+            elif row == 0:
+                kind = [WINDOW, BALCONY_WINDOW, None][int(rng.randint(3))]
+            else:
+                kind = None  # second row has no outer top wall: windowless
+            win_kinds.append(kind)
+            if kind is not None:
+                # window in the top outer wall band (rows 6..8 border
+                # OUTSIDE)
+                wx0 = x + 2 + int(rng.randint(max(1, widths[r] - 8)))
+                wx1 = min(x1 - 2, wx0 + int(rng.randint(3, 8)))
+                if wx1 > wx0:
+                    img[6:8, wx0:wx1] = kind
+            if r > 0:
+                # door through the 2px wall to the left neighbor
+                dy0 = y0 + 2 + int(rng.randint(max(1, height - 10)))
+                dy1 = min(y1 - 2, dy0 + int(rng.randint(4, 9)))
+                if dy1 > dy0:
+                    img[dy0:dy1, x - 2:x] = DOOR
+            if row == 1 and rng.randint(2):
+                # door through the 2px wall to the upstairs-row neighbor
+                dx0 = x + 2 + int(rng.randint(max(1, widths[r] - 8)))
+                dx1 = min(x1 - 2, dx0 + int(rng.randint(4, 9)))
+                if dx1 > dx0:
+                    img[y0 - 2:y0, dx0:dx1] = DOOR
+            x = x1 + 2
     Image.fromarray(img, "RGB").save(path)
     return win_kinds
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_layout_compiles_sound(seed, tmp_path):
     png = tmp_path / f"fuzz_{seed}.png"
     win_kinds = _random_layout(seed, png)

@@ -43,7 +43,11 @@ from flatmatch_tpu.scene import geometry, image as im, layout
 
 ON_TPU = jax.default_backend() == "tpu"
 
-BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 26
+# default budget is platform-aware: 67M photons saturate a chip in ~2 s,
+# but would take hours on the CPU mechanism-validation path
+BUDGET = int(sys.argv[1]) if len(sys.argv) > 1 else (
+    (1 << 26) if ON_TPU else (1 << 19)
+)
 
 img = im.load_layout("/root/reference/example.png")
 lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
