@@ -185,13 +185,19 @@ def _make_kernel(cfg: PhotonConfig, TB: int, N: int):
                 + (hy - rpy) * row(_F_HU + 1)
                 + (hz - rpz) * row(_F_HU + 2)
             )
-            valid = (
-                (denom < 0)
-                & (fac >= 0)
-                & (pdx >= 0)
-                & (pdx <= row(_F_WLEN))
-                & (pdy >= 0)
-                & (pdy <= row(_F_HLEN))
+            # min-tree form of the bounds chain: IEEE-exact equivalent
+            # (subtraction is exactly rounded so wlen-pdx >= 0 <=> pdx <=
+            # wlen; NaN propagates through minimum and fails >= 0) — same
+            # rewrite as the wide kernel, ~2 fewer VPU ops per pair
+            valid = (denom < 0) & (
+                jnp.minimum(
+                    jnp.minimum(fac, pdx),
+                    jnp.minimum(
+                        row(_F_WLEN) - pdx,
+                        jnp.minimum(pdy, row(_F_HLEN) - pdy),
+                    ),
+                )
+                >= 0
             )
             dist = jnp.where(valid, fac, _MISS)
             mind = jnp.min(dist, axis=1, keepdims=True)          # [TB, 1]
@@ -210,11 +216,13 @@ def _make_kernel(cfg: PhotonConfig, TB: int, N: int):
             # shrinks the exact one-hot gather from 18 masked reductions to 4.
             wt_l = row(_F_WT)
             ht_l = row(_F_HT)
-            tx_l = jnp.clip(
-                jnp.floor(pdx * wt_l / row(_F_WLEN)), 0.0, wt_l - 1.0
+            # lower clip dropped: the one-hot winner is valid (pdx/pdy >=
+            # 0 there); losing lanes are zeroed by the masked gather
+            tx_l = jnp.minimum(
+                jnp.floor(pdx * wt_l / row(_F_WLEN)), wt_l - 1.0
             )
-            ty_l = jnp.clip(
-                jnp.floor(pdy * ht_l / row(_F_HLEN)), 0.0, ht_l - 1.0
+            ty_l = jnp.minimum(
+                jnp.floor(pdy * ht_l / row(_F_HLEN)), ht_l - 1.0
             )
             texel_l = row(_F_BASE) + ty_l * wt_l + tx_l          # [TB, N]
 
