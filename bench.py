@@ -85,10 +85,11 @@ def bench_ao(scene, aa):
             scene, pack_rects(scene.walls), cfg
         )
     float(np.asarray(run()).sum())  # warm/compile
-    # best of 3: the full pass is ~0.16s, so a single ~0.5s dispatch
+    # best of 5: the full pass is ~0.15s, so a single ~0.5s dispatch
     # latency spike through the tunnel would dominate one measurement
+    # (observed 223M vs 277M texel-rays/s across bench runs at best-of-3)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = run()
         energy = float(np.asarray(out).sum())
@@ -109,7 +110,7 @@ def bench_radiosity(scene):
     cfg = RadiosityConfig(rays_per_texel=RADIOSITY_RAYS, seed=0)
     radiosity.render_radiosity(scene, cfg)  # warm: compile-cache load etc.
     dt = float("inf")
-    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+    for _ in range(3):  # best of 3 (dispatch-latency spikes, see bench_ao)
         t0 = time.perf_counter()
         out = radiosity.render_radiosity(scene, cfg)
         energy = float(np.asarray(out).sum())
