@@ -80,13 +80,24 @@ def _ao_chunk(rects: RectsDev, centers, dirs, fac, sky_distance, normalization):
     return dist_sum / (jnp.sum(fac) * normalization)
 
 
-def render_ao(scene: Scene, rects: RectsDev, cfg: AoConfig) -> np.ndarray:
-    """Full AO pass over every wall; returns the [num_texels, 3] arena."""
+def render_ao(
+    scene: Scene, rects: RectsDev, cfg: AoConfig, wall_indices=None
+) -> np.ndarray:
+    """Full AO pass over every wall; returns the [num_texels, 3] arena.
+
+    `wall_indices` restricts the pass to a wall subset (texels of other
+    walls stay zero) — AO is per-texel independent (photonmap.c:441), so a
+    subset equals the corresponding slice of a full run; used to golden-test
+    flagship-scale scenes without paying the full texel count."""
     texels = np.zeros((scene.num_texels, 3), f32)
     vs = geosphere(cfg.geosphere_level)
     fac = jnp.asarray(vs[:, 2])
     chunk = int(cfg.texels_per_chunk)
-    for wall in scene.walls:
+    walls = (
+        scene.walls if wall_indices is None
+        else [scene.walls[i] for i in wall_indices]
+    )
+    for wall in walls:
         dirs = jnp.asarray(wall_directions(wall.n, cfg.geosphere_level))
         centers = tile_centers(wall)
         T = num_tiles(wall)

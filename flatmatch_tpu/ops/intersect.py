@@ -26,18 +26,40 @@ from .device_scene import RectsDev
 INF = jnp.inf
 
 
+def _dot3(a, bT):
+    """Exact-f32 [B,3] x [3,N] contraction as explicit component broadcasts.
+
+    NOT a matmul on purpose: on TPU, f32 `a @ bT` lowers to the MXU at
+    DEFAULT precision = one bf16 pass, which truncates ray origins to 8
+    mantissa bits (12.525 -> 12.5) and turns grazing-distance tests into
+    garbage hits (found on hardware, round 4: fac computed -0.0 for a rect
+    0.128 m BEHIND the ray). A K=3 contraction is 3 VPU mul-adds — cheaper
+    than an MXU pass padded to K=128 and exactly f32 on every backend."""
+    return (
+        a[:, 0:1] * bT[0][None, :]
+        + a[:, 1:2] * bT[1][None, :]
+        + a[:, 2:3] * bT[2][None, :]
+    )
+
+
 def intersect_all(src, direc, rects: RectsDev):
     """Distances from rays [B,3] to every rect: returns dist [B,N] with +inf
     where the rect is missed."""
     nT = rects.n.T          # [3,N]
     wT = rects.w_unit.T
     hT = rects.h_unit.T
-    denom = direc @ nT                               # [B,N]
-    fac = (rects.n_off[None, :] - src @ nT) / denom  # [B,N]
+    denom = _dot3(direc, nT)                               # [B,N]
+    fac = (rects.n_off[None, :] - _dot3(src, nT)) / denom  # [B,N]
     # dx = dot(w_unit, src + dir*fac - rect_pos), expanded so no [B,N,3]
     # intermediate is ever materialized.
-    dx = src @ wT + fac * (direc @ wT) - jnp.sum(rects.w_unit * rects.pos, -1)
-    dy = src @ hT + fac * (direc @ hT) - jnp.sum(rects.h_unit * rects.pos, -1)
+    dx = (
+        _dot3(src, wT) + fac * _dot3(direc, wT)
+        - jnp.sum(rects.w_unit * rects.pos, -1)
+    )
+    dy = (
+        _dot3(src, hT) + fac * _dot3(direc, hT)
+        - jnp.sum(rects.h_unit * rects.pos, -1)
+    )
     valid = (
         (denom < 0)
         & (fac >= 0)

@@ -68,6 +68,51 @@ def test_ao_texels_match_reference(name):
     assert (ours[~level0] == 0).all()
 
 
+@pytest.mark.slow
+def test_ao_example_walls_match_reference():
+    """Flagship-scale AO golden: a deterministic wall subset of example.png
+    (one per size class: 16..2048 tiles, incl. the downward door soffit
+    whose grazing rays exposed the bf16-matmul intersector bug on hardware,
+    round 4) vs the reference-build dump
+    (tests/fixtures/example_ao_texels.f32). AO is per-texel independent, so
+    the subset equals the same slice of a full run; the FULL example scene
+    is gated on chip by tools/ao_hardware_gate.py."""
+    img = im.load_layout("/root/reference/example.png")
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    gold = _golden("example", scene.num_texels)
+    sel = [147, 164, 38, 88, 154]
+    ours = ao.render_ao(scene, pack_rects(scene.walls), AO_CFG, sel)
+    for wi in sel:
+        r = scene.walls[wi]
+        from flatmatch_tpu.scene.rectangle import num_tiles
+
+        sl = slice(r.base, r.base + num_tiles(r))
+        rel = np.abs(ours[sl] - gold[sl]) / np.maximum(np.abs(gold[sl]), 1e-6)
+        # these walls have no knife-edge ties (verified per-ray vs an
+        # instrumented reference build: 481/481 rays agree after aligning
+        # the geosphere table orders) — gate tight
+        assert rel.max() < 1e-4, f"wall {wi} max rel {rel.max()}"
+
+
+def test_intersect_has_no_matmul():
+    """The intersector must not lower any contraction to dot_general: on
+    TPU an f32 matmul defaults to ONE bf16 MXU pass, which truncates ray
+    origins to 8 mantissa bits and fabricates hits at grazing incidence
+    (found on hardware against the example.png AO golden, round 4). The
+    K=3 dots are spelled as explicit VPU broadcasts (ops/intersect._dot3);
+    this guard fails if anyone reintroduces `@`."""
+    from flatmatch_tpu.ops.intersect import intersect_all
+
+    import jax
+
+    scene, _ = _scene("tiny")
+    rects = pack_rects(scene.walls)
+    rays = np.zeros((4, 3), f32)
+    jaxpr = str(jax.make_jaxpr(intersect_all)(rays, rays, rects))
+    assert "dot_general" not in jaxpr
+
+
 @pytest.mark.parametrize("idx", [0, 5])
 def test_ao_tile_png_matches_reference(idx):
     """Tone map + uint8 + floor tint must reproduce the reference PNG bytes

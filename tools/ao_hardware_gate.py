@@ -26,8 +26,12 @@ from flatmatch_tpu.scene import geometry, image as im, layout
 
 assert jax.default_backend() == "tpu", jax.default_backend()
 
-for name in ("tiny", "mini"):
-    img = im.load_layout(f"/root/repo/tests/fixtures/{name}.png")
+for name in ("tiny", "mini", "example"):
+    png = (
+        "/root/reference/example.png" if name == "example"
+        else f"/root/repo/tests/fixtures/{name}.png"
+    )
+    img = im.load_layout(png)
     lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
     scene = geometry.Scene(lay)
     gold = np.fromfile(
@@ -46,4 +50,28 @@ for name in ("tiny", "mini"):
     )
     assert rel.mean() < 2e-4, rel.mean()
     assert frac_bad <= 0.02, frac_bad
+
+# XLA AO engine on a flagship wall subset: regression gate for the
+# default-precision-matmul intersector bug (f32 `@` = one bf16 MXU pass on
+# TPU; it truncated ray origins and fabricated grazing hits — round 4).
+# These walls have no knife-edge ties, so the gate is tight.
+from flatmatch_tpu.config import AoConfig as _AoCfg
+from flatmatch_tpu.engines import ao as ao_xla
+from flatmatch_tpu.ops.device_scene import pack_rects
+from flatmatch_tpu.scene.rectangle import num_tiles
+
+img = im.load_layout("/root/reference/example.png")
+lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+scene = geometry.Scene(lay)
+gold = np.fromfile(
+    "/root/repo/tests/fixtures/example_ao_texels.f32", dtype="<f4"
+).reshape(scene.num_texels, 4)[:, :3]
+sel = [147, 164, 38, 88, 154]
+ours = ao_xla.render_ao(scene, pack_rects(scene.walls), _AoCfg(), sel)
+for wi in sel:
+    r = scene.walls[wi]
+    sl = slice(r.base, r.base + num_tiles(r))
+    rel = np.abs(ours[sl] - gold[sl]) / np.maximum(np.abs(gold[sl]), 1e-6)
+    assert rel.max() < 1e-4, (wi, rel.max())
+    print(f"XLA AO wall {wi}: max_rel={rel.max():.2e}")
 print("AO on-hardware golden gate: OK")
