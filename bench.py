@@ -131,8 +131,12 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
     from flatmatch_tpu.diff.render import make_diff_renderer_wide
 
     frac = max(1, n_photons // (1 << 23))
+    # the production diff tier: device RNG + in-kernel splat forward +
+    # in-kernel cotangent fold backward (round 4); int8 splats would be
+    # demoted by exact_splat_cfg, so name the bf16 in-kernel mode directly
     cfg = PhotonConfig(
-        samples_per_area=spa / frac, photons_per_batch=1 << 17, seed=0
+        samples_per_area=spa / frac, photons_per_batch=1 << 17, seed=0,
+        splat="inkernel", device_rng=True,
     )
     ems = pack_emitters(scene, spa / frac, cfg.window_color, cfg.light_color)
     n_small = int(np.asarray(ems.counts).sum())

@@ -90,6 +90,14 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         "resumes bit-identically (utils/checkpoint.py)",
     )
     p.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=DEFAULT_CONFIG.photon.checkpoint_every,
+        metavar="BATCHES",
+        help="checkpoint/segment granularity in photon batches (part of "
+        "the resume fingerprint: a resume must use the same value)",
+    )
+    p.add_argument(
         "--single-device",
         action="store_true",
         help="disable the multi-device sharded engines even when more than "
@@ -121,6 +129,7 @@ def _build_cfg(args):
             photons_per_batch=args.photons_per_batch,
             splat=args.splat,
             device_rng=args.device_rng,
+            checkpoint_every=args.checkpoint_every,
         ),
         radiosity=dataclasses.replace(
             cfg.radiosity,

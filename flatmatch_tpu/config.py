@@ -92,6 +92,11 @@ class PhotonConfig:
     # Deterministic per (seed, batch, device); parity vs the other engines
     # becomes statistical, like the reference's CL-vs-native pair.
     device_rng: bool = False
+    # Checkpoint/segment granularity for the photon engines, in batches
+    # (engines/schedule.py run_schedule; part of the resume fingerprint).
+    # No reference analog — the reference has no checkpointing at all
+    # (SURVEY.md §5 "Checkpoint / resume: none").
+    checkpoint_every: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

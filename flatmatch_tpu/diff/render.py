@@ -281,11 +281,10 @@ def make_diff_renderer_wide(
 ):
     """Differentiable renderer on the PRODUCTION wide Pallas kernel.
 
-    Forward: the wide AA megakernel with per-rect albedo applied in-kernel
-    (trace_deposits_wide_diff). Backward: REPLAYS the same kernel from the
-    same threefry counters — trajectories are parameter-independent, so the
-    replay reproduces the exact forward deposit stream — then folds the
-    lightmap cotangent analytically:
+    Forward: the wide AA megakernel with per-rect albedo applied in-kernel.
+    Backward: REPLAYS the same kernel from the same counters — trajectories
+    are parameter-independent, so the replay reproduces the exact forward
+    deposit stream — then folds the lightmap cotangent analytically:
 
         deposit(p, d) = power[e] * base * prod_{diffuse k<=d} albedo[r_k] * tint_k
         w(p, d)   = <g[texel(p, d)], deposit(p, d)>
@@ -293,20 +292,38 @@ def make_diff_renderer_wide(
         d_albedo[r] = sum_{p, k: diffuse hit on r} S(p, k) / albedo[r]
         d_power[e]  = sum_{p in e} sum_d w(p, d) / power[e]
 
-    Residual memory is O(params): only (albedo, power) are saved; the
-    per-batch deposit stream ([B*D] ids + colors) is recomputed and
-    consumed inside the backward loop. Anchor: the deposit chain of
-    photonmap.cl:236-258 — every deposit is linear in power and in each
-    picked-up albedo factor.
+    Residual memory is O(params): only (albedo, power) are saved.
+
+    Two speed tiers by cfg.splat (round-4 redesign — the round-3 diff tier
+    ran at 13% of the production forward because the forward streamed
+    [B*D] deposits to HBM for a standalone splat and the backward folded
+    them in XLA with a [B*D] gather + segment_sum):
+
+    - in-kernel family ('inkernel*'/'fused*', incl. the production
+      config): forward = trace_splat_wide_diff[_rng] (in-kernel splat, no
+      deposit stream at all), backward = trace_fold_wide[_rng] (the fold
+      runs IN-KERNEL on the MXU; only [N]+[1] cotangents leave the kernel
+      per batch). Honors cfg.device_rng.
+    - 'scatter'/'bucket*': the exact-f32 deposit-stream path (XLA fold),
+      kept as the oracle-parity tier (bit-identical to the plain engines).
+
+    Both render in the COMPACT level-0 arena (compact_aa) and expand once.
+    Anchor: the deposit chain of photonmap.cl:236-258 — every deposit is
+    linear in power and in each picked-up albedo factor.
     """
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
-        LANES, _splat, exact_splat_cfg, trace_deposits_wide_diff,
+        LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
+        cotangent_t, exact_splat_cfg, trace_deposits_wide_diff,
+        trace_fold_wide, trace_fold_wide_rng, trace_splat_wide_diff,
+        trace_splat_wide_diff_rng,
     )
 
     # the diff tier never quantizes: demote int8 splats (deposit colors
     # carry the free `power` factor, which can exceed the 7-bit grid)
     cfg = exact_splat_cfg(cfg)
+    fused = cfg.splat in ("inkernel", "fused")
+    device_rng = bool(cfg.device_rng) and fused
 
     D = cfg.max_depth
     S = int(sublanes)
@@ -324,6 +341,8 @@ def make_diff_renderer_wide(
     key = jax.random.PRNGKey(cfg.seed)
     perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)  # slot -> rect index
     N = int(perm.shape[0])
+    aa_c, total_c, expand = compact_aa(aa, num_texels)
+    arena_pos = jnp.asarray(compact_arena_positions(aa), jnp.int32)
 
     def emitter_slice(e):
         return schedule_mod.emitter_slice(emitters, e)
@@ -343,22 +362,34 @@ def make_diff_renderer_wide(
 
     def forward_loop(albedo, power):
         albedo_aa = albedo[perm]
-        lm = jnp.zeros((num_texels, 3), jnp.float32)
+        lm = jnp.zeros((total_c, 3), jnp.float32)
         for e, base_batch, n_batches, last_valid in schedule:
             ev = em_vec_scaled(e, power)
 
             def body(i, lm, ev=ev, base_batch=base_batch,
                      n_batches=n_batches, last_valid=last_valid):
-                u = batch_uniforms(base_batch + i)
+                nv = n_valid(i, n_batches, last_valid)
+                if fused:
+                    if device_rng:
+                        return lm + trace_splat_wide_diff_rng(
+                            aa_c.fields, albedo_aa, ev,
+                            batch_seed(cfg.seed, base_batch + i), nv, cfg,
+                            aa_c.group_counts, total_c, B, S,
+                        )
+                    return lm + trace_splat_wide_diff(
+                        aa_c.fields, albedo_aa, ev,
+                        batch_uniforms(base_batch + i), nv, cfg,
+                        aa_c.group_counts, total_c, S,
+                    )
                 idx, col, _ = trace_deposits_wide_diff(
-                    aa.fields, albedo_aa, ev, u,
-                    n_valid(i, n_batches, last_valid), cfg,
-                    aa.group_counts, S,
+                    aa_c.fields, albedo_aa, ev,
+                    batch_uniforms(base_batch + i), nv, cfg,
+                    aa_c.group_counts, S,
                 )
                 return _splat(lm, idx, col, cfg)
 
             lm = jax.lax.fori_loop(0, n_batches, body, lm)
-        return lm
+        return expand(lm)
 
     @jax.custom_vjp
     def render(albedo, power):
@@ -371,6 +402,8 @@ def make_diff_renderer_wide(
     def render_bwd(res, g):
         albedo, power = res
         albedo_aa = albedo[perm]
+        g_c = g[arena_pos]                 # exact transpose of expand()
+        g_t = cotangent_t(g_c, total_c) if fused else None
         da_slots = jnp.zeros((N,), jnp.float32)
         d_power = jnp.zeros_like(power)
         for e, base_batch, n_batches, last_valid in schedule:
@@ -379,19 +412,32 @@ def make_diff_renderer_wide(
             def body(i, carry, ev=ev, base_batch=base_batch,
                      n_batches=n_batches, last_valid=last_valid):
                 da, dpe = carry
-                u = batch_uniforms(base_batch + i)
+                nv = n_valid(i, n_batches, last_valid)
+                if fused:
+                    if device_rng:
+                        da_b, w_sum = trace_fold_wide_rng(
+                            aa_c.fields, albedo_aa, ev, g_t,
+                            batch_seed(cfg.seed, base_batch + i), nv, cfg,
+                            aa_c.group_counts, N, B, S,
+                        )
+                    else:
+                        da_b, w_sum = trace_fold_wide(
+                            aa_c.fields, albedo_aa, ev, g_t,
+                            batch_uniforms(base_batch + i), nv, cfg,
+                            aa_c.group_counts, N, S,
+                        )
+                    return da + da_b, dpe + w_sum
                 idx, col, ridx = trace_deposits_wide_diff(
-                    aa.fields, albedo_aa, ev, u,
-                    n_valid(i, n_batches, last_valid), cfg,
-                    aa.group_counts, S,
+                    aa_c.fields, albedo_aa, ev,
+                    batch_uniforms(base_batch + i), nv, cfg,
+                    aa_c.group_counts, S,
                 )
-                w = jnp.sum(g[idx] * col, axis=-1)           # [B*D]
+                w = jnp.sum(g_c[idx] * col, axis=-1)         # [B*D]
                 w3 = w.reshape(n_blocks, D, S * LANES)
                 suf = jnp.cumsum(w3[:, ::-1, :], axis=1)[:, ::-1, :]
-                flat_r = ridx                                 # [B*D]
-                contrib = jnp.where(flat_r >= 0, suf.reshape(-1), 0.0)
+                contrib = jnp.where(ridx >= 0, suf.reshape(-1), 0.0)
                 da = da + jax.ops.segment_sum(
-                    contrib, jnp.clip(flat_r, 0, N - 1), num_segments=N
+                    contrib, jnp.clip(ridx, 0, N - 1), num_segments=N
                 )
                 return da, dpe + w.sum()
 
@@ -420,20 +466,28 @@ def make_diff_renderer_sharded_wide(
     sublanes: int = 32,
 ):
     """make_diff_renderer_wide with photon DP over the `photons` mesh:
-    the production wide kernel forward AND its analytic replay backward
-    run shard-locally on each chip's photon slice; one lightmap psum per
-    emitter forward, one [N]+[E] cotangent psum per backward. Same
-    (batch, device) keying as every other sharded engine."""
+    the production wide kernel forward AND its replay backward run
+    shard-locally on each chip's photon slice; one lightmap psum per
+    forward, one [N]+[E] cotangent psum per backward. Same (batch, device)
+    keying as every other sharded engine. Like the single-chip version,
+    the in-kernel splat/fold tier serves cfg.splat in-kernel modes (with
+    cfg.device_rng honored) and the deposit-stream XLA fold remains the
+    exact-f32 tier for 'scatter'/'bucket*'."""
     from jax.sharding import PartitionSpec as P
 
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
-        LANES, _splat, exact_splat_cfg, trace_deposits_wide_diff,
+        LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
+        cotangent_t, device_seed, exact_splat_cfg,
+        trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
+        trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
     # the diff tier never quantizes: demote int8 splats (deposit colors
     # carry the free `power` factor, which can exceed the 7-bit grid)
     cfg = exact_splat_cfg(cfg)
+    fused = cfg.splat in ("inkernel", "fused")
+    device_rng = bool(cfg.device_rng) and fused
 
     shard_map = jax.shard_map
     n_dev = mesh.shape["photons"]
@@ -453,6 +507,8 @@ def make_diff_renderer_sharded_wide(
     key = jax.random.PRNGKey(cfg.seed)
     perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)
     N = int(perm.shape[0])
+    aa_c, total_c, expand = compact_aa(aa, num_texels)
+    arena_pos = jnp.asarray(compact_arena_positions(aa), jnp.int32)
     repl = P()
 
     def emitter_slice(e):
@@ -465,6 +521,9 @@ def make_diff_renderer_sharded_wide(
         k = jax.random.fold_in(key, base_batch + i)
         k = jax.random.fold_in(k, ax)
         return jax.random.uniform(k, (b_local, U), dtype=jnp.float32)
+
+    def local_seed(i, ax, base_batch):
+        return device_seed(batch_seed(cfg.seed, base_batch + i), ax)
 
     def local_n_valid(i, ax, n_batches, last_valid):
         nv = jnp.where(
@@ -481,24 +540,36 @@ def make_diff_renderer_sharded_wide(
         )
         def run(albedo_aa, power):
             ax = jax.lax.axis_index("photons")
-            lm = jnp.zeros((num_texels, 3), jnp.float32)
+            lm = jnp.zeros((total_c, 3), jnp.float32)
             for e, base_batch, n_batches, last_valid in schedule:
                 ev = em_vec_scaled(e, power)
 
                 def body(i, lm, ev=ev, base_batch=base_batch,
                          n_batches=n_batches, last_valid=last_valid):
-                    u = local_batch(i, ax, base_batch)
+                    nv = local_n_valid(i, ax, n_batches, last_valid)
+                    if fused:
+                        if device_rng:
+                            return lm + trace_splat_wide_diff_rng(
+                                aa_c.fields, albedo_aa, ev,
+                                local_seed(i, ax, base_batch), nv, cfg,
+                                aa_c.group_counts, total_c, b_local, S,
+                            )
+                        return lm + trace_splat_wide_diff(
+                            aa_c.fields, albedo_aa, ev,
+                            local_batch(i, ax, base_batch), nv, cfg,
+                            aa_c.group_counts, total_c, S,
+                        )
                     idx, col, _ = trace_deposits_wide_diff(
-                        aa.fields, albedo_aa, ev, u,
-                        local_n_valid(i, ax, n_batches, last_valid),
-                        cfg, aa.group_counts, S,
+                        aa_c.fields, albedo_aa, ev,
+                        local_batch(i, ax, base_batch), nv, cfg,
+                        aa_c.group_counts, S,
                     )
                     return _splat(lm, idx, col, cfg)
 
                 lm = jax.lax.fori_loop(0, n_batches, body, lm)
             return jax.lax.psum(lm, "photons")
 
-        return run(albedo_aa, power)
+        return expand(run(albedo_aa, power))
 
     @jax.custom_vjp
     def render(albedo, power):
@@ -511,12 +582,16 @@ def make_diff_renderer_sharded_wide(
         albedo, power = res
         albedo_aa = albedo[perm]
         safe = jnp.where(albedo_aa > 1e-12, albedo_aa, 1.0)
+        g_c = g[arena_pos]                 # exact transpose of expand()
+        g_t = cotangent_t(g_c, total_c) if fused else jnp.zeros(
+            (), jnp.float32
+        )
 
         @functools.partial(
-            shard_map, mesh=mesh, in_specs=(repl, repl, repl),
+            shard_map, mesh=mesh, in_specs=(repl, repl, repl, repl),
             out_specs=(repl, repl), check_vma=False,
         )
-        def run(albedo_aa, power, g):
+        def run(albedo_aa, power, g_c, g_t):
             ax = jax.lax.axis_index("photons")
             da_slots = jnp.zeros((N,), jnp.float32)
             d_power = jnp.zeros_like(power)
@@ -526,13 +601,27 @@ def make_diff_renderer_sharded_wide(
                 def body(i, carry, ev=ev, base_batch=base_batch,
                          n_batches=n_batches, last_valid=last_valid):
                     da, dpe = carry
-                    u = local_batch(i, ax, base_batch)
+                    nv = local_n_valid(i, ax, n_batches, last_valid)
+                    if fused:
+                        if device_rng:
+                            da_b, w_sum = trace_fold_wide_rng(
+                                aa_c.fields, albedo_aa, ev, g_t,
+                                local_seed(i, ax, base_batch), nv, cfg,
+                                aa_c.group_counts, N, b_local, S,
+                            )
+                        else:
+                            da_b, w_sum = trace_fold_wide(
+                                aa_c.fields, albedo_aa, ev, g_t,
+                                local_batch(i, ax, base_batch), nv, cfg,
+                                aa_c.group_counts, N, S,
+                            )
+                        return da + da_b, dpe + w_sum
                     idx, col, ridx = trace_deposits_wide_diff(
-                        aa.fields, albedo_aa, ev, u,
-                        local_n_valid(i, ax, n_batches, last_valid),
-                        cfg, aa.group_counts, S,
+                        aa_c.fields, albedo_aa, ev,
+                        local_batch(i, ax, base_batch), nv, cfg,
+                        aa_c.group_counts, S,
                     )
-                    w = jnp.sum(g[idx] * col, axis=-1)
+                    w = jnp.sum(g_c[idx] * col, axis=-1)
                     w3 = w.reshape(nb_local, D, S * LANES)
                     suf = jnp.cumsum(w3[:, ::-1, :], axis=1)[:, ::-1, :]
                     contrib = jnp.where(ridx >= 0, suf.reshape(-1), 0.0)
@@ -553,7 +642,7 @@ def make_diff_renderer_sharded_wide(
                 jax.lax.psum(d_power, "photons"),
             )
 
-        da_slots, d_power = run(albedo_aa, power, g)
+        da_slots, d_power = run(albedo_aa, power, g_c, g_t)
         da_slots = jnp.where(albedo_aa > 1e-12, da_slots / safe, 0.0)
         d_albedo = jnp.zeros_like(albedo).at[perm].add(da_slots)
         return d_albedo, d_power

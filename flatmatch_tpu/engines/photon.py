@@ -198,7 +198,7 @@ def render_photons(
     num_texels: int,
     cfg: PhotonConfig,
     checkpoint_path: str = None,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
     on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass: every window, then every light
@@ -236,7 +236,7 @@ def render_photons_checkpointed(
     num_texels: int,
     cfg: PhotonConfig,
     checkpoint_path: str,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
 ) -> jnp.ndarray:
     """Back-compat alias: render_photons with a required checkpoint path."""
     return render_photons(

@@ -45,11 +45,36 @@ from ..ops.aa_scene import (
 )
 from ..ops.device_scene import EmittersDev, RectsDev
 from ..ops.sampling import TWO_PI_REF
+from ..ops.splat_pallas import _fmix32
 from .photon import uniforms_per_photon
 from .photon_pallas import _build_base_cols, emitter_vector
 
 _MISS = 1e30
 LANES = 128
+
+
+def resolve_unroll(unroll):
+    """Platform-resolved rect-loop unroll: 8 on hardware (+2% photons/s
+    measured; 16 blew the compile budget), 4 elsewhere (interpret-mode
+    compile time roughly doubles at 8). Bit-identical either way — the
+    unrolled loop tests rects in the same order."""
+    if unroll is None:
+        return 8 if jax.default_backend() == "tpu" else 4
+    return int(unroll)
+
+
+def check_i8_accumulator(cfg: PhotonConfig, batch_size: int):
+    """The in-kernel i8 splat accumulates int32 per texel; per-batch worst
+    case is batch * max_depth * 127 per texel, which would WRAP silently
+    past 2^31 (possible from batch ~2^21 at depth 8 — the defaults sit at
+    2^17-2^18)."""
+    worst = int(batch_size) * int(cfg.max_depth) * 127
+    if worst >= 2**31:
+        raise ValueError(
+            f"photons_per_batch={batch_size} x max_depth={cfg.max_depth} "
+            f"can overflow the int32 i8-splat accumulator "
+            f"({worst} >= 2^31); lower the batch or use splat='inkernel'"
+        )
 
 
 def splat_color_scale(cfg: PhotonConfig) -> float:
@@ -76,19 +101,17 @@ def device_seed(seed, ax):
     0's photon g+ax (the streams overlap almost entirely). Mixing ax
     through the finalizer destroys that additive structure; residual
     overlap probability is ~b_local/2^32 per device pair."""
-    x = jnp.asarray(seed, jnp.int32) + (
-        jnp.asarray(ax, jnp.int32) + jnp.int32(1)
-    ) * jnp.int32(-2048144789)
-    x = x ^ jax.lax.shift_right_logical(x, 16)
-    x = x * jnp.int32(-2048144789)   # 0x85ebca6b
-    x = x ^ jax.lax.shift_right_logical(x, 13)
-    x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
-    return x ^ jax.lax.shift_right_logical(x, 16)
+    return _fmix32(
+        jnp.asarray(seed, jnp.int32)
+        + (jnp.asarray(ax, jnp.int32) + jnp.int32(1))
+        * jnp.int32(-2048144789)
+    )
 
 
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
-                 chains: int = 1, fuse_h: int = 0, i8: bool = False):
+                 chains: int = 1, fuse_h: int = 0, i8: bool = False,
+                 fold: bool = False):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -116,7 +139,28 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
     and no deposit round-trip — and the MXU splat work of bounce d overlaps
     the VPU trace work of bounce d+1 inside one instruction stream. This
     is the TPU answer to the reference folding its racy `+=` deposit into
-    the trace kernel (photonmap.cl:256-258): same fusion, deterministic."""
+    the trace kernel (photonmap.cl:256-258): same fusion, deterministic.
+
+    `fold=True` (requires diff) builds the BACKWARD kernel of the replay
+    VJP: instead of streaming deposits to HBM for an XLA-side cotangent
+    fold (the round-3 design — a [B*D] gather + segment_sum that ran the
+    backward at 13% of the forward rate), the kernel REPLAYS the trace and
+    folds the lightmap cotangent g in-kernel:
+
+        w(p, d)  = <g[texel(p, d)], deposit_color(p, d)>   (MXU gather)
+        S(p, k)  = sum_{d>=k} w(p, d)                      (in-register)
+        da[slot] += one-hot slot splat of S(p, k) by the diffuse-hit slot
+        dw       += sum_d w(p, d)                          (for d_power)
+
+    The g gather is the one-hot MXU contraction TRANSPOSED: per 128-deposit
+    row, tmp = g_t[3*128, Hg] @ onehot(texel_row)[Hg, 128] selects each
+    deposit's 384-wide g row exactly (one nonzero per output — g is
+    bf16-rounded once, with NO accumulation error), then a lane one-hot +
+    sublane reduce picks the deposit's lane and dots against the replayed
+    color. Anchor: the deposit chain photonmap.cl:236-258 — every deposit
+    is linear in power and in each albedo factor picked up at diffuse
+    bounces at or before it, so d_albedo[r] = sum of the suffix sums S at
+    r's diffuse hits / albedo[r] (divided outside the kernel)."""
     D = cfg.max_depth
     TB = S * LANES
     eps = np.float32(cfg.self_intersect_eps)
@@ -130,7 +174,7 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
     starts = (0, g0, g0 + g1)
 
     def body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref, idx_ref,
-             col_ref, ridx_ref):
+             col_ref, ridx_ref, g_ref=None, da_ref=None, dw_ref=None):
         if rng:
             # counter-hash RNG per (photon, draw): murmur3's fmix32
             # finalizer over (global photon id, draw column, batch seed) —
@@ -147,14 +191,10 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             )
 
             def draw(c):
-                x = rgid * jnp.int32(-1640531527) + (
-                    seed + jnp.int32(c) * jnp.int32(97929)
+                x = _fmix32(
+                    rgid * jnp.int32(-1640531527)
+                    + (seed + jnp.int32(c) * jnp.int32(97929))
                 )
-                x = x ^ jax.lax.shift_right_logical(x, 16)
-                x = x * jnp.int32(-2048144789)   # 0x85ebca6b
-                x = x ^ jax.lax.shift_right_logical(x, 13)
-                x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
-                x = x ^ jax.lax.shift_right_logical(x, 16)
                 # top 24 bits -> [0, 1) exactly representable in f32
                 return (
                     jax.lax.shift_right_logical(x, 8).astype(jnp.float32)
@@ -219,6 +259,25 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             iota_j = jax.lax.broadcasted_iota(
                 jnp.int32, (LANES, LANES), 0
             )
+
+        if fold:
+            # da_ref [Hn, 128] (slot r at [r>>7, r&127]) and dw_ref
+            # [S, 128] are revisited accumulators like the fused splat's.
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                da_ref[:] = jnp.zeros_like(da_ref)
+                dw_ref[:] = jnp.zeros_like(dw_ref)
+
+            gt_bf = g_ref[:]                      # [3*LANES, Hg] bf16
+            Hg = gt_bf.shape[1]
+            Hn = da_ref.shape[0]
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (Hg, LANES), 0)
+            iota_slot = jax.lax.broadcasted_iota(jnp.int32, (Hn, LANES), 0)
+            iota_lane = jax.lax.broadcasted_iota(
+                jnp.int32, (LANES, LANES), 0
+            )
+            w_steps = []     # per depth: w(p, d)        [S, LANES] f32
+            slot_steps = []  # per depth: diffuse slot   [S, LANES] f32
 
         for d in range(D):
             inv = (
@@ -443,12 +502,11 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                     depkey = gid * jnp.int32(3 * D) + jnp.int32(3 * d)
 
                     def dith(key):
-                        x = key * jnp.int32(-1640531527)
-                        x = x ^ jax.lax.shift_right_logical(x, 16)
-                        x = x * jnp.int32(-2048144789)
-                        x = x ^ jax.lax.shift_right_logical(x, 13)
-                        x = x * jnp.int32(-1028477387)
-                        x = x ^ jax.lax.shift_right_logical(x, 16)
+                        # same fmix32 finalizer as ops/splat_pallas.dither01
+                        # but keyed per in-kernel deposit id (gid*3D + 3d +
+                        # ch), NOT per stream row — the two i8 paths are
+                        # statistically, not bit, equivalent (see _splat)
+                        x = _fmix32(key * jnp.int32(-1640531527))
                         return (
                             jax.lax.shift_right_logical(x, 8)
                             .astype(jnp.float32)
@@ -505,6 +563,48 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+            elif fold:
+                # replay-backward: gather g at this bounce's texels on the
+                # MXU and dot against the replayed deposit colors; stash
+                # w(p, d) and the diffuse slot for the post-loop suffix
+                # sums (the suffix needs every later bounce's w first)
+                texi = jnp.where(alive > 0, btex, 0.0).astype(jnp.int32)
+                car = cr * alive
+                cag = cg * alive
+                cab = cb * alive
+                ws = []
+                for s in range(S):
+                    row = texi[s:s + 1, :]
+                    hi = jax.lax.shift_right_logical(row, 7)
+                    lo = jnp.bitwise_and(row, LANES - 1)
+                    ohT = (iota_g == hi).astype(jnp.bfloat16)   # [Hg, K]
+                    # exact gather: one nonzero per output column
+                    tmp = jax.lax.dot_general(
+                        gt_bf, ohT,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                           # [3K, K]
+                    ohlo = iota_lane == lo                      # [K, K]
+                    zero = jnp.float32(0.0)
+                    sel = [
+                        jnp.sum(
+                            jnp.where(
+                                ohlo,
+                                tmp[ch * LANES:(ch + 1) * LANES, :],
+                                zero,
+                            ),
+                            axis=0, keepdims=True,
+                        )
+                        for ch in range(3)
+                    ]
+                    ws.append(
+                        sel[0] * car[s:s + 1, :]
+                        + sel[1] * cag[s:s + 1, :]
+                        + sel[2] * cab[s:s + 1, :]
+                    )
+                w_steps.append(jnp.concatenate(ws, axis=0))     # [S, K]
+                dm = diffuse.astype(jnp.float32) * alive
+                slot_steps.append(jnp.where(dm > 0, bidx, -1.0))
             else:
                 idx_ref[pl.ds(d * S, S), :] = jnp.where(
                     alive > 0, btex, 0.0
@@ -512,7 +612,7 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                 col_ref[pl.ds((3 * d) * S, S), :] = cr * alive
                 col_ref[pl.ds((3 * d + 1) * S, S), :] = cg * alive
                 col_ref[pl.ds((3 * d + 2) * S, S), :] = cb * alive
-            if diff:
+            if diff and ridx_ref is not None:
                 # slot whose albedo multiplied into this (and all later)
                 # deposits; -1 at mirror bounces / dead photons
                 dm = diffuse.astype(jnp.float32) * alive
@@ -526,6 +626,60 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
 
         if fuse_h:
             idx_ref[:] = acc
+
+        if fold:
+            # inclusive suffix sums S(p, k) = sum_{d>=k} w(p, d) — the
+            # deposit at bounce k already carries albedo_k (deposit is
+            # post-attenuation, photonmap.cl:236-258)
+            suf = [None] * D
+            run = jnp.zeros((S, LANES), jnp.float32)
+            for d in reversed(range(D)):
+                run = run + w_steps[d]
+                suf[d] = run
+            dw_ref[:] = dw_ref[:] + suf[0]
+            # slot splat: da[slot] += S(p, k) via the same exact one-hot
+            # MXU contraction as the fused texel splat (Hn is tiny)
+            da = da_ref[:]
+            for d in range(D):
+                sl = slot_steps[d].astype(jnp.int32)
+                for s in range(S):
+                    row = sl[s:s + 1, :]
+                    # arithmetic shift: slot -1 (mirror/dead) -> row -1,
+                    # matched by no iota_slot row -> contributes nothing
+                    hi = jax.lax.shift_right_arithmetic(row, 7)
+                    lo = jnp.bitwise_and(row, LANES - 1)
+                    # f32 dot: Hn is ~8 rows, the pass is free — keeps the
+                    # suffix sums un-quantized (the only rounding in the
+                    # whole fold is g's one bf16 cast)
+                    ohT = (iota_slot == hi).astype(jnp.float32)
+                    x = jnp.where(
+                        iota_lane == lo, suf[d][s:s + 1, :], 0.0
+                    )                                           # [K, K]
+                    da = da + jax.lax.dot_general(
+                        ohT, x,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                           # [Hn, K]
+            da_ref[:] = da
+
+    if fold:
+        assert diff, "fold is a diff-tier mode"
+
+        def kernel_fold(em_ref, nvalid_ref, scene_ref, albedo_ref, g_ref,
+                        u_ref, da_ref, dw_ref):
+            body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
+                 None, None, None, g_ref=g_ref, da_ref=da_ref,
+                 dw_ref=dw_ref)
+
+        return kernel_fold
+
+    if diff and fuse_h:
+        def kernel_diff_fused(em_ref, nvalid_ref, scene_ref, albedo_ref,
+                              u_ref, acc_ref):
+            body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
+                 acc_ref, None, None)
+
+        return kernel_diff_fused
 
     if diff:
         def kernel_diff(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
@@ -563,7 +717,7 @@ def trace_deposits_wide_rng(
     group_counts,
     batch_size: int,
     sublanes: int = 8,
-    unroll: int = None,
+    unroll: "int | None" = None,
     chains: int = 1,
 ):
     """trace_deposits_wide with the device PRNG: no uniforms tensor at all.
@@ -578,12 +732,7 @@ def trace_deposits_wide_rng(
     D = cfg.max_depth
     U = uniforms_per_photon(D)
 
-    if unroll is None:
-        # platform-resolved: 8 on hardware (+2% photons/s measured; 16
-        # blew the compile budget), 4 elsewhere (interpret-mode compiles
-        # roughly double at 8). Bit-identical either way — the unrolled
-        # loop tests rects in the same order.
-        unroll = 8 if jax.default_backend() == "tpu" else 4
+    unroll = resolve_unroll(unroll)
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
                           chains=chains)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
@@ -737,6 +886,8 @@ def trace_splat_wide(
     n_blocks = B // TB
     H = _acc_h(num_texels)
 
+    if i8:
+        check_i8_accumulator(cfg, B)
     u_wide = (
         uniforms.reshape(n_blocks, S, LANES, U)
         .transpose(0, 3, 1, 2)
@@ -782,7 +933,7 @@ def trace_splat_wide_rng(
     num_texels: int,
     batch_size: int,
     sublanes: int = 8,
-    unroll: int = None,
+    unroll: "int | None" = None,
     chains: int = 1,
     i8: bool = False,
 ):
@@ -805,8 +956,9 @@ def trace_splat_wide_rng(
     U = uniforms_per_photon(D)
     H = _acc_h(num_texels)
 
-    if unroll is None:
-        unroll = 8 if jax.default_backend() == "tpu" else 4  # see above
+    if i8:
+        check_i8_accumulator(cfg, B)
+    unroll = resolve_unroll(unroll)
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
                           chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
@@ -906,6 +1058,273 @@ def trace_deposits_wide_diff(
     return idx_flat, col_flat, ridx_flat
 
 
+def _fold_hn(n_slots: int) -> int:
+    """Slot-accumulator height for the fold kernel: slot rows of 128,
+    sublane-padded (scenes have O(100) rect slots, so this is ~8 rows)."""
+    return _round_up(_round_up(n_slots, LANES) // LANES, 8)
+
+
+def cotangent_t(g: jnp.ndarray, num_texels: int) -> jnp.ndarray:
+    """[T, 3] lightmap cotangent -> [3*128, Hg] bf16 fold-kernel operand
+    with g_t[ch*128 + t%128, t//128] = g[t, ch]. Hg (the texel-row count)
+    is the LANE dim of the operand, so it pads to a multiple of 128. bf16
+    is the fold's single rounding: the MXU gather is one-hot (one nonzero
+    per output), so each gathered value is exactly bf16(g[t, ch])."""
+    Hg = _round_up(_round_up(num_texels, LANES) // LANES, LANES)
+    pad = Hg * LANES - num_texels
+    gp = jnp.pad(g, ((0, pad), (0, 0)))
+    return (
+        gp.reshape(Hg, LANES, 3)
+        .transpose(2, 1, 0)
+        .reshape(3 * LANES, Hg)
+        .astype(jnp.bfloat16)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
+                     "unroll", "chains"),
+)
+def trace_splat_wide_diff(
+    aa_fields: jnp.ndarray,
+    albedo_aa: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    num_texels: int,
+    sublanes: int = 8,
+    unroll: int = 4,
+    chains: int = 1,
+):
+    """Differentiable-path FUSED trace+splat: per-rect albedo in-kernel AND
+    the in-kernel exact one-hot splat — the diff forward at the production
+    forward's speed (no deposit stream to HBM, no standalone splat pass;
+    the round-3 diff forward paid ~60% of its wall clock for those two).
+    Always the bf16 splat grade (the diff tier never quantizes to int8:
+    exact_splat_cfg)."""
+    B, U = uniforms.shape
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    H = _acc_h(num_texels)
+
+    u_wide = (
+        uniforms.reshape(n_blocks, S, LANES, U)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_blocks * U * S, LANES)
+    )
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
+                          chains=chains, fuse_h=H)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    N = aa_fields.shape[1]
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), u_wide)
+    return acc_to_lightmap(acc, num_texels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "num_texels", "batch_size",
+                     "sublanes", "unroll", "chains"),
+)
+def trace_splat_wide_diff_rng(
+    aa_fields: jnp.ndarray,
+    albedo_aa: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    seed,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    num_texels: int,
+    batch_size: int,
+    sublanes: int = 8,
+    unroll: "int | None" = None,
+    chains: int = 1,
+):
+    """trace_splat_wide_diff with the in-kernel counter-hash PRNG: the
+    production diff forward — neither uniforms nor deposits touch HBM."""
+    B = int(batch_size)
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+    U = uniforms_per_photon(D)
+    H = _acc_h(num_texels)
+
+    unroll = resolve_unroll(unroll)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
+                          rng=True, chains=chains, fuse_h=H)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    seed_arr = jnp.full((1, 1), seed, jnp.int32)
+    N = aa_fields.shape[1]
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
+    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), seed_arr)
+    return acc_to_lightmap(acc, num_texels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "n_slots", "sublanes", "unroll",
+                     "chains"),
+)
+def trace_fold_wide(
+    aa_fields: jnp.ndarray,
+    albedo_aa: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    g_t: jnp.ndarray,
+    uniforms: jnp.ndarray,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    n_slots: int,
+    sublanes: int = 8,
+    unroll: int = 4,
+    chains: int = 1,
+):
+    """Replay-backward batch: re-traces the forward trajectories from the
+    same draws and folds the lightmap cotangent in-kernel (_make_kernel
+    fold docs). Returns (da_slots [n_slots] — suffix-sum totals per rect
+    slot, NOT yet divided by albedo — and w_sum, the <g, batch lightmap>
+    total for d_power). `g_t` is cotangent_t(g_compact)."""
+    B, U = uniforms.shape
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    Hn = _fold_hn(n_slots)
+
+    u_wide = (
+        uniforms.reshape(n_blocks, S, LANES, U)
+        .transpose(0, 3, 1, 2)
+        .reshape(n_blocks * U * S, LANES)
+    )
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
+                          chains=chains, fold=True)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    N = aa_fields.shape[1]
+    Hg = g_t.shape[1]
+    da, dw = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * LANES, Hg), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Hn, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hn, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((S, LANES), jnp.float32),
+        ),
+    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), g_t, u_wide)
+    return da.reshape(-1)[:n_slots], dw.sum()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "group_counts", "n_slots", "batch_size",
+                     "sublanes", "unroll", "chains"),
+)
+def trace_fold_wide_rng(
+    aa_fields: jnp.ndarray,
+    albedo_aa: jnp.ndarray,
+    em_vec: jnp.ndarray,
+    g_t: jnp.ndarray,
+    seed,
+    n_valid,
+    cfg: PhotonConfig,
+    group_counts,
+    n_slots: int,
+    batch_size: int,
+    sublanes: int = 8,
+    unroll: "int | None" = None,
+    chains: int = 1,
+):
+    """trace_fold_wide with the in-kernel counter-hash PRNG — the
+    production backward (replays trace_splat_wide_diff_rng's trajectories
+    from the same seed)."""
+    B = int(batch_size)
+    S = int(sublanes)
+    TB = S * LANES
+    assert B % TB == 0, (B, TB)
+    n_blocks = B // TB
+    D = cfg.max_depth
+    U = uniforms_per_photon(D)
+    Hn = _fold_hn(n_slots)
+
+    unroll = resolve_unroll(unroll)
+    kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
+                          rng=True, chains=chains, fold=True)
+    nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
+    seed_arr = jnp.full((1, 1), seed, jnp.int32)
+    N = aa_fields.shape[1]
+    Hg = g_t.shape[1]
+    da, dw = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * LANES, Hg), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Hn, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hn, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((S, LANES), jnp.float32),
+        ),
+    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), g_t, seed_arr)
+    return da.reshape(-1)[:n_slots], dw.sum()
+
+
 def compact_aa(aa: AARectsDev, num_texels: int):
     """Re-base the AA scene so deposits land in a COMPACT level-0-only
     arena (mipmap slots excluded), shrinking the splat accumulator height
@@ -947,6 +1366,24 @@ def compact_aa(aa: AARectsDev, num_texels: int):
     return aa_c, total, expand
 
 
+def compact_arena_positions(aa: AARectsDev) -> np.ndarray:
+    """compact texel index -> arena texel index (the inverse of
+    compact_aa's gather; injective, so g_compact = g_arena[positions] is
+    the exact transpose of compact_aa's expand)."""
+    fields = np.asarray(aa.fields)
+    wt = fields[A_WT].astype(np.int64)
+    ht = fields[A_HT].astype(np.int64)
+    arena_base = fields[A_BASE].astype(np.int64)
+    counts = wt * ht
+    out = np.empty(int(counts.sum()), np.int64)
+    c0 = 0
+    for j in range(len(counts)):
+        n = int(counts[j])
+        out[c0:c0 + n] = np.arange(arena_base[j], arena_base[j] + n)
+        c0 += n
+    return out
+
+
 def exact_splat_cfg(cfg: PhotonConfig) -> PhotonConfig:
     """cfg with any int8 splat demoted to its bf16 (f32-grade) twin.
 
@@ -965,7 +1402,10 @@ def _splat(lightmap, idx, col, cfg: PhotonConfig):
     """Splat a deposit stream per cfg.splat. Callers that materialize the
     stream (diff renderers, sharded deposit paths) land here even when
     cfg.splat names an IN-KERNEL mode, so the inkernel* names map to their
-    standalone twins (same binning, same quantization grid)."""
+    standalone twins: same binning and same 7-bit quantization GRID, but
+    the i8 pair is only statistically equivalent — the in-kernel dither is
+    keyed per (photon, bounce, channel) while dither01 keys per stream row
+    (test_pallas_wide.test_wide_splat_i8_matches_fused_statistically)."""
     splat = {"inkernel": "fused", "inkernel_i8": "fused_i8"}.get(
         cfg.splat, cfg.splat
     )
@@ -1171,7 +1611,7 @@ def render_photons(
     aa: AARectsDev,
     sublanes: int = None,
     checkpoint_path: str = None,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
     chains: int = 1,
     on_segment=None,
 ) -> jnp.ndarray:

@@ -42,7 +42,7 @@ def run_schedule(
     cfg: PhotonConfig,
     batch_size: int,
     checkpoint_path: Optional[str] = None,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
     fingerprint_extra=(),
     write_checkpoints: bool = True,
     on_segment: Optional[Callable] = None,
@@ -68,6 +68,8 @@ def run_schedule(
 
     counts = np.asarray(emitters.counts)
     B = int(batch_size)
+    if every_batches is None:
+        every_batches = int(cfg.checkpoint_every)
 
     resume_e, resume_b = 0, 0
     lightmap = jnp.zeros((num_texels, 3), jnp.float32)
@@ -122,6 +124,29 @@ def run_schedule(
                 ckpt.save(
                     checkpoint_path, np.asarray(lightmap), *cursor, fp
                 )
+            if checkpoint_path is not None:
+                # fault injection (tests + chaos drills): hard-kill this
+                # process after N checkpoint rounds, like a preempted host.
+                # Counted on every process (the non-primary skips the write
+                # but dies at the same point) so multi-process kills are
+                # synchronized. The reference's failure story was
+                # printf+exit (SURVEY.md §5); this makes ours testable.
+                import os
+
+                kill_after = os.environ.get(
+                    "FLATMATCH_FAULT_EXIT_AFTER_CHECKPOINTS"
+                )
+                if kill_after is not None:
+                    saves_done = getattr(run_schedule, "_fault_saves", 0) + 1
+                    run_schedule._fault_saves = saves_done
+                    if saves_done >= int(kill_after):
+                        from ..utils.progress import warn
+
+                        warn(
+                            f"FAULT INJECTION: exiting after "
+                            f"{saves_done} checkpoint rounds"
+                        )
+                        os._exit(17)
             if on_segment is not None:
                 done = done_before + min((off + seg) * B, n)
                 on_segment(lightmap, done, total_photons)

@@ -218,7 +218,7 @@ def render_photons_sharded_wide(
     mesh: Mesh = None,
     sublanes: int = None,
     checkpoint_path: str = None,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
     on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass on the wide AA engine, sharded over all devices.
@@ -394,7 +394,7 @@ def render_photons_sharded(
     cfg: PhotonConfig,
     mesh: Mesh = None,
     checkpoint_path: str = None,
-    every_batches: int = 64,
+    every_batches: "int | None" = None,
     on_segment=None,
 ) -> jnp.ndarray:
     """Full photon pass sharded over all devices (windows then lights,

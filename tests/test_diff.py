@@ -169,6 +169,138 @@ def test_wide_diff_gradients_match_oracle(setup):
     assert np.abs(np.asarray(ga)).sum() > 0
 
 
+def test_wide_diff_fused_tier_matches_scatter_tier(setup):
+    """Round-4 fast tier: the in-kernel-splat diff forward and the
+    IN-KERNEL cotangent fold backward (trace_splat_wide_diff /
+    trace_fold_wide) vs the exact-f32 deposit-stream tier on the same
+    draws. Forward differs only by the bf16 color quantization of the
+    fused splat; gradients only by the single bf16 rounding of g in the
+    MXU gather (exact per element — one nonzero per one-hot output — so
+    the error averages out across deposits)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    albedo = albedo0 * (
+        0.8 + 0.3 * jax.random.uniform(jax.random.PRNGKey(7), albedo0.shape)
+    )
+    power = power0 * 1.3
+    with pltpu.force_tpu_interpret_mode():
+        r_sc = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels,
+            dataclasses.replace(CFG, splat="scatter"), aa, sublanes=1,
+        )
+        r_fu = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels,
+            dataclasses.replace(CFG, splat="inkernel"), aa, sublanes=1,
+        )
+        lm_sc = np.asarray(r_sc(albedo, power))
+        lm_fu = np.asarray(r_fu(albedo, power))
+        ga_sc, gp_sc = jax.grad(
+            lambda a, p: jnp.sum(r_sc(a, p) * w), argnums=(0, 1)
+        )(albedo, power)
+        ga_fu, gp_fu = jax.grad(
+            lambda a, p: jnp.sum(r_fu(a, p) * w), argnums=(0, 1)
+        )(albedo, power)
+    assert np.abs(lm_fu - lm_sc).max() <= 4e-3 * lm_sc.max()
+    ga_sc, ga_fu = np.asarray(ga_sc), np.asarray(ga_fu)
+    assert (
+        np.abs(ga_fu - ga_sc).max() <= 5e-4 * np.abs(ga_sc).max()
+    ), np.abs(ga_fu - ga_sc).max() / np.abs(ga_sc).max()
+    np.testing.assert_allclose(
+        np.asarray(gp_fu), np.asarray(gp_sc), rtol=5e-4
+    )
+
+
+def test_wide_diff_rng_forward_matches_production_bitexact(setup):
+    """The device-RNG diff forward (trace_splat_wide_diff_rng) at uniform
+    albedo must reproduce the production device-RNG engine
+    (trace_splat_wide_rng) BIT-exactly: same counters, same one-hot splat,
+    same accumulation order — the per-rect albedo row is the only
+    difference and it holds the same value."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines.photon_pallas import emitter_vector
+    from flatmatch_tpu.engines.photon_pallas_wide import (
+        compact_aa, trace_splat_wide_diff_rng, trace_splat_wide_rng,
+    )
+    from flatmatch_tpu.engines.schedule import emitter_slice
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    cfg = dataclasses.replace(CFG, splat="inkernel", device_rng=True)
+    aa_c, total_c, _ = compact_aa(aa, scene.num_texels)
+    ev = emitter_vector(emitter_slice(emitters, 0))
+    albedo_aa = albedo0[jnp.asarray(np.asarray(aa.perm), jnp.int32)]
+    with pltpu.force_tpu_interpret_mode():
+        prod = np.asarray(
+            trace_splat_wide_rng(
+                aa_c.fields, ev, 1234, 512, cfg, aa_c.group_counts,
+                total_c, 512, 1, unroll=4,
+            )
+        )
+        diff = np.asarray(
+            trace_splat_wide_diff_rng(
+                aa_c.fields, albedo_aa, ev, 1234, 512, cfg,
+                aa_c.group_counts, total_c, 512, 1, unroll=4,
+            )
+        )
+    assert prod.sum() > 0
+    np.testing.assert_array_equal(prod, diff)
+
+
+def test_wide_diff_rng_gradients(setup):
+    """Production diff tier (device RNG + in-kernel splat/fold). Albedo:
+    central differences at the dominant entries (the lightmap is a fixed
+    polynomial of albedo at fixed counters). Power: the EXACT linearity
+    identity gp[0] * p == loss for a single-emitter scene — central
+    differences are useless for power here because deposit colors cluster
+    at a few discrete values, so the bf16 splat rounding is SYSTEMATIC
+    across thousands of identical deposits and /2h amplifies it ~7%
+    (measured); the identity is immune to it (both sides see the same
+    quantized forward)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    cfg = dataclasses.replace(CFG, splat="inkernel", device_rng=True)
+    with pltpu.force_tpu_interpret_mode():
+        r = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels, cfg, aa, sublanes=1
+        )
+
+        def loss(a, p):
+            return jnp.sum(r(a, p) * w)
+
+        ga, gp = jax.grad(loss, argnums=(0, 1))(albedo0, power0)
+        ga, gp = np.asarray(ga), np.asarray(gp)
+        h = 1e-2
+        for i in np.argsort(-np.abs(ga))[:2]:
+            fd = (
+                float(loss(albedo0.at[i].add(h), power0))
+                - float(loss(albedo0.at[i].add(-h), power0))
+            ) / (2 * h)
+            np.testing.assert_allclose(ga[i], fd, rtol=5e-2)
+        if len(gp) == 1:
+            # dL/dp * p == L exactly (every deposit linear in p); the only
+            # slack is the fold's single bf16 rounding of g
+            val = float(loss(albedo0, power0))
+            np.testing.assert_allclose(gp[0], val, rtol=2e-3)
+
+
 def test_sharded_wide_diff_matches_sharded_xla_diff(setup):
     """The sharded wide-kernel diff renderer keys draws per (batch, device)
     exactly like the sharded XLA diff renderer: same photons, so values

@@ -316,3 +316,34 @@ def test_sharded_fit_recovers_power():
     )
     assert res.losses[-1] < 1e-4, res.losses[-1]
     np.testing.assert_allclose(res.power, np.asarray(p_true), rtol=0.02)
+
+
+def test_sharded_segment_lowers_one_psum_and_local_batches(tiny):
+    """Scaling regression guard (round-4 VERDICT #6): a sharded emitter
+    segment must lower to exactly ONE all-reduce (the per-segment lightmap
+    psum, mesh.py:100-103) and must draw uniforms at the SHARD-LOCAL batch
+    size — a regression that psums per batch, or traces the global batch
+    per device, would silently destroy scaling without failing any value
+    test (virtual CPU devices share host cores, so timing tests can't see
+    it either)."""
+    import jax.numpy as jnp
+
+    from flatmatch_tpu.engines.photon import uniforms_per_photon
+    from flatmatch_tpu.engines.schedule import emitter_slice
+    from flatmatch_tpu.parallel.mesh import _trace_emitter_sharded
+
+    scene, rects, emitters = tiny
+    cfg = CFG
+    mesh = photon_mesh()
+    n_dev = mesh.shape["photons"]
+    B = 1024
+    b_local = B // n_dev
+    U = uniforms_per_photon(cfg.max_depth)
+    lm = jnp.zeros((scene.num_texels, 3), jnp.float32)
+    txt = _trace_emitter_sharded.lower(
+        lm, rects, emitter_slice(emitters, 0), jax.random.PRNGKey(1),
+        0, 0, 4, jnp.int32(4), jnp.int32(B), cfg, B, mesh,
+    ).as_text()
+    assert txt.count("all_reduce") == 1, txt.count("all_reduce")
+    assert f"tensor<{b_local}x{U}xf32>" in txt, "shard-local uniforms"
+    assert f"tensor<{B}x{U}xf32>" not in txt, "global-size uniforms leaked"

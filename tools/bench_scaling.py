@@ -26,7 +26,15 @@ from flatmatch_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+import os
+
 import jax
+
+# honor an explicit CPU request even though the ambient sitecustomize has
+# already baked the TPU platform into jax.config (conftest.py note)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from flatmatch_tpu.parallel import multihost
