@@ -131,17 +131,19 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
     from flatmatch_tpu.diff.render import make_diff_renderer_wide
 
     frac = max(1, n_photons // (1 << 23))
-    # the production diff tier: device RNG + in-kernel splat forward +
-    # in-kernel cotangent fold backward (round 4); int8 splats would be
-    # demoted by exact_splat_cfg, so name the bf16 in-kernel mode directly
+    # the production diff tier (round 4): device RNG + the in-kernel i8
+    # splat forward on the dynamic quantization grid + in-kernel cotangent
+    # fold backward, with shrunk-grid tail batches
     cfg = PhotonConfig(
         samples_per_area=spa / frac, photons_per_batch=1 << 17, seed=0,
-        splat="inkernel", device_rng=True,
+        splat=os.environ.get("FLATMATCH_BENCH_DIFF_SPLAT", "inkernel_i8"),
+        device_rng=True,
     )
+    sub = int(os.environ.get("FLATMATCH_BENCH_DIFF_SUBLANES", 32))
     ems = pack_emitters(scene, spa / frac, cfg.window_color, cfg.light_color)
     n_small = int(np.asarray(ems.counts).sum())
     render = make_diff_renderer_wide(
-        rects, ems, scene.num_texels, cfg, aa, sublanes=32
+        rects, ems, scene.num_texels, cfg, aa, sublanes=sub
     )
     albedo0 = jnp.full((len(scene.walls),), cfg.albedo, jnp.float32)
     power0 = jnp.ones((len(np.asarray(ems.counts)),), jnp.float32)
@@ -153,15 +155,17 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
     float(np.asarray(render(albedo0, power0)).sum())  # compile fwd
     v, (ga, gp) = vg(albedo0, power0)                 # compile fwd+bwd
     float(np.asarray(ga).sum())
-    t0 = time.perf_counter()
-    out = render(albedo0, power0)
-    float(np.asarray(out).sum())
-    fwd_dt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    v, (ga, gp) = vg(albedo0, power0)
-    e = float(np.asarray(ga).sum()) + float(np.asarray(gp).sum())
-    both_dt = time.perf_counter() - t0
-    assert np.isfinite(e)
+    fwd_dt = both_dt = float("inf")
+    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+        t0 = time.perf_counter()
+        out = render(albedo0, power0)
+        float(np.asarray(out).sum())
+        fwd_dt = min(fwd_dt, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        v, (ga, gp) = vg(albedo0, power0)
+        e = float(np.asarray(ga).sum()) + float(np.asarray(gp).sum())
+        both_dt = min(both_dt, time.perf_counter() - t0)
+        assert np.isfinite(e)
     return n_small / fwd_dt, n_small / both_dt
 
 

@@ -173,6 +173,16 @@ def main(argv=None) -> int:
         "seams (the dilation the reference prototyped in its dead "
         "imageProcessing.c but never shipped)",
     )
+    p_render.add_argument(
+        "--supersample",
+        type=int,
+        default=1,
+        metavar="N",
+        help="render at N^2 x the texel density and box-average non-zero "
+        "sub-texels down before tone mapping (the reference's dead "
+        "supersampled-tone hint, imageProcessing.c:145-184 — the other "
+        "half of the --dilate-seams pair)",
+    )
 
     p_fit = sub.add_parser(
         "fit",
@@ -319,7 +329,8 @@ def main(argv=None) -> int:
         with profile_ctx:
             render(args.layout, args.out, args.scale, cfg, mesh=mesh,
                    checkpoint_path=args.checkpoint, preview=args.preview,
-                   dump_raw=args.dump_raw, dilate_seams=args.dilate_seams)
+                   dump_raw=args.dump_raw, dilate_seams=args.dilate_seams,
+                   supersample=args.supersample)
         return 0
     if args.cmd == "fit":
         import pathlib

@@ -278,6 +278,7 @@ def make_diff_renderer_wide(
     cfg: PhotonConfig,
     aa,
     sublanes: int = 32,
+    tail_shrink: bool = True,
 ):
     """Differentiable renderer on the PRODUCTION wide Pallas kernel.
 
@@ -294,35 +295,47 @@ def make_diff_renderer_wide(
 
     Residual memory is O(params): only (albedo, power) are saved.
 
-    Two speed tiers by cfg.splat (round-4 redesign — the round-3 diff tier
+    Speed tiers by cfg.splat (round-4 redesign — the round-3 diff tier
     ran at 13% of the production forward because the forward streamed
     [B*D] deposits to HBM for a standalone splat and the backward folded
     them in XLA with a [B*D] gather + segment_sum):
 
     - in-kernel family ('inkernel*'/'fused*', incl. the production
-      config): forward = trace_splat_wide_diff[_rng] (in-kernel splat, no
-      deposit stream at all), backward = trace_fold_wide[_rng] (the fold
-      runs IN-KERNEL on the MXU; only [N]+[1] cotangents leave the kernel
-      per batch). Honors cfg.device_rng.
+      config 'inkernel_i8'): forward = trace_splat_wide_diff[_rng]
+      (in-kernel splat, no deposit stream at all), backward =
+      trace_fold_wide[_rng] (the fold runs IN-KERNEL on the MXU; only
+      [N]+[1] cotangents leave the kernel per batch). Honors
+      cfg.device_rng. The *_i8 names run the forward splat at int8 MXU
+      rate over a DYNAMIC quantization grid: the production constant
+      grid (splat_color_scale) times corr(e) = max(1,|power[e]|) *
+      max(1, max(albedo))^D, a traced scalar that covers the
+      parameter-scaled deposit bound — at power<=1, albedo<=1 corr is
+      exactly 1.0 and the grid (and the lightmap, under device RNG)
+      is BIT-identical to production inkernel_i8. Gradients are
+      i8-independent: the fold kernel replays exact f32 colors.
     - 'scatter'/'bucket*': the exact-f32 deposit-stream path (XLA fold),
       kept as the oracle-parity tier (bit-identical to the plain engines).
 
-    Both render in the COMPACT level-0 arena (compact_aa) and expand once.
-    Anchor: the deposit chain of photonmap.cl:236-258 — every deposit is
-    linear in power and in each picked-up albedo factor.
+    `tail_shrink` (device-RNG in-kernel tiers only): each emitter's last
+    batch launches on a power-of-two-reduced grid exactly like the
+    production _render_all_wide tail peel — bit-identical (masked photons
+    deposit +0.0 and fold 0 cotangent) while skipping the dead blocks'
+    trace, splat AND replay cost in both passes.
+
+    Both tiers render in the COMPACT level-0 arena (compact_aa) and expand
+    once. Anchor: the deposit chain of photonmap.cl:236-258 — every deposit
+    is linear in power and in each picked-up albedo factor.
     """
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, exact_splat_cfg, trace_deposits_wide_diff,
+        cotangent_t, splat_color_scale, trace_deposits_wide_diff,
         trace_fold_wide, trace_fold_wide_rng, trace_splat_wide_diff,
         trace_splat_wide_diff_rng,
     )
 
-    # the diff tier never quantizes: demote int8 splats (deposit colors
-    # carry the free `power` factor, which can exceed the 7-bit grid)
-    cfg = exact_splat_cfg(cfg)
-    fused = cfg.splat in ("inkernel", "fused")
+    fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
+    i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused
 
     D = cfg.max_depth
@@ -360,35 +373,68 @@ def make_diff_renderer_wide(
             i == n_batches - 1, jnp.int32(last_valid), jnp.int32(B)
         )
 
+    base_s = np.float32(splat_color_scale(cfg))
+    base_inv = np.float32(1.0 / splat_color_scale(cfg))
+
+    def scale_pair(e, albedo, power):
+        """Dynamic i8 quantization grid covering the parameter-scaled
+        deposit bound: max emitter channel * max(1,|power[e]|) *
+        max(1, max albedo)^D. corr multiplies the PRODUCTION host
+        constants, so at power<=1, albedo<=1 it is exactly 1.0 and both
+        scale and inv_scale are bit-equal to the production i8 splat's."""
+        corr = jnp.maximum(
+            jnp.float32(1.0), jnp.abs(power[e])
+        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo)) ** D
+        return base_s * corr, base_inv / corr
+
+    def tail_batch_size(last_valid):
+        """Power-of-two-reduced tail grid (photon_pallas_wide
+        _render_all_wide tail peel); full batch unless shrinking applies."""
+        if not (tail_shrink and device_rng) or last_valid >= B:
+            return B
+        blocks = -(-last_valid // TB)
+        p2 = 1
+        while p2 < blocks:
+            p2 *= 2
+        return min(B, p2 * TB)
+
     def forward_loop(albedo, power):
         albedo_aa = albedo[perm]
         lm = jnp.zeros((total_c, 3), jnp.float32)
         for e, base_batch, n_batches, last_valid in schedule:
             ev = em_vec_scaled(e, power)
+            sc = scale_pair(e, albedo, power) if i8 else (None, None)
 
-            def body(i, lm, ev=ev, base_batch=base_batch,
-                     n_batches=n_batches, last_valid=last_valid):
-                nv = n_valid(i, n_batches, last_valid)
+            def one(lm, abs_i, nv, bsz, ev=ev, sc=sc):
                 if fused:
                     if device_rng:
                         return lm + trace_splat_wide_diff_rng(
                             aa_c.fields, albedo_aa, ev,
-                            batch_seed(cfg.seed, base_batch + i), nv, cfg,
-                            aa_c.group_counts, total_c, B, S,
+                            batch_seed(cfg.seed, abs_i), nv, cfg,
+                            aa_c.group_counts, total_c, bsz, S,
+                            i8=i8, scale=sc[0], inv_scale=sc[1],
                         )
                     return lm + trace_splat_wide_diff(
                         aa_c.fields, albedo_aa, ev,
-                        batch_uniforms(base_batch + i), nv, cfg,
+                        batch_uniforms(abs_i), nv, cfg,
                         aa_c.group_counts, total_c, S,
+                        i8=i8, scale=sc[0], inv_scale=sc[1],
                     )
                 idx, col, _ = trace_deposits_wide_diff(
                     aa_c.fields, albedo_aa, ev,
-                    batch_uniforms(base_batch + i), nv, cfg,
+                    batch_uniforms(abs_i), nv, cfg,
                     aa_c.group_counts, S,
                 )
                 return _splat(lm, idx, col, cfg)
 
-            lm = jax.lax.fori_loop(0, n_batches, body, lm)
+            def body(i, lm, base_batch=base_batch):
+                return one(lm, base_batch + i, jnp.int32(B), B)
+
+            lm = jax.lax.fori_loop(0, n_batches - 1, body, lm)
+            lm = one(
+                lm, base_batch + n_batches - 1, jnp.int32(last_valid),
+                tail_batch_size(last_valid),
+            )
         return expand(lm)
 
     @jax.custom_vjp
@@ -409,27 +455,25 @@ def make_diff_renderer_wide(
         for e, base_batch, n_batches, last_valid in schedule:
             ev = em_vec_scaled(e, power)
 
-            def body(i, carry, ev=ev, base_batch=base_batch,
-                     n_batches=n_batches, last_valid=last_valid):
+            def one(carry, abs_i, nv, bsz, ev=ev):
                 da, dpe = carry
-                nv = n_valid(i, n_batches, last_valid)
                 if fused:
                     if device_rng:
                         da_b, w_sum = trace_fold_wide_rng(
                             aa_c.fields, albedo_aa, ev, g_t,
-                            batch_seed(cfg.seed, base_batch + i), nv, cfg,
-                            aa_c.group_counts, N, B, S,
+                            batch_seed(cfg.seed, abs_i), nv, cfg,
+                            aa_c.group_counts, N, bsz, S,
                         )
                     else:
                         da_b, w_sum = trace_fold_wide(
                             aa_c.fields, albedo_aa, ev, g_t,
-                            batch_uniforms(base_batch + i), nv, cfg,
+                            batch_uniforms(abs_i), nv, cfg,
                             aa_c.group_counts, N, S,
                         )
                     return da + da_b, dpe + w_sum
                 idx, col, ridx = trace_deposits_wide_diff(
                     aa_c.fields, albedo_aa, ev,
-                    batch_uniforms(base_batch + i), nv, cfg,
+                    batch_uniforms(abs_i), nv, cfg,
                     aa_c.group_counts, S,
                 )
                 w = jnp.sum(g_c[idx] * col, axis=-1)         # [B*D]
@@ -441,8 +485,15 @@ def make_diff_renderer_wide(
                 )
                 return da, dpe + w.sum()
 
+            def body(i, carry, base_batch=base_batch):
+                return one(carry, base_batch + i, jnp.int32(B), B)
+
             da_slots, dpe = jax.lax.fori_loop(
-                0, n_batches, body, (da_slots, jnp.float32(0.0))
+                0, n_batches - 1, body, (da_slots, jnp.float32(0.0))
+            )
+            da_slots, dpe = one(
+                (da_slots, dpe), base_batch + n_batches - 1,
+                jnp.int32(last_valid), tail_batch_size(last_valid),
             )
             d_power = d_power.at[e].add(
                 jnp.where(power[e] != 0, dpe / power[e], 0.0)
@@ -471,22 +522,21 @@ def make_diff_renderer_sharded_wide(
     forward, one [N]+[E] cotangent psum per backward. Same (batch, device)
     keying as every other sharded engine. Like the single-chip version,
     the in-kernel splat/fold tier serves cfg.splat in-kernel modes (with
-    cfg.device_rng honored) and the deposit-stream XLA fold remains the
-    exact-f32 tier for 'scatter'/'bucket*'."""
+    cfg.device_rng honored; *_i8 runs the forward splat on the dynamic
+    quantization grid, see make_diff_renderer_wide) and the deposit-stream
+    XLA fold remains the exact-f32 tier for 'scatter'/'bucket*'."""
     from jax.sharding import PartitionSpec as P
 
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, device_seed, exact_splat_cfg,
+        cotangent_t, device_seed, splat_color_scale,
         trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
         trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
-    # the diff tier never quantizes: demote int8 splats (deposit colors
-    # carry the free `power` factor, which can exceed the 7-bit grid)
-    cfg = exact_splat_cfg(cfg)
-    fused = cfg.splat in ("inkernel", "fused")
+    fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
+    i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused
 
     shard_map = jax.shard_map
@@ -517,6 +567,17 @@ def make_diff_renderer_sharded_wide(
     def em_vec_scaled(e, power):
         return emitter_vector(emitter_slice(e)).at[:, 12:15].mul(power[e])
 
+    base_s = np.float32(splat_color_scale(cfg))
+    base_inv = np.float32(1.0 / splat_color_scale(cfg))
+    D_ = cfg.max_depth
+
+    def scale_pair(e, albedo, power):
+        # dynamic i8 grid; see make_diff_renderer_wide.scale_pair
+        corr = jnp.maximum(
+            jnp.float32(1.0), jnp.abs(power[e])
+        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo)) ** D_
+        return base_s * corr, base_inv / corr
+
     def local_batch(i, ax, base_batch):
         k = jax.random.fold_in(key, base_batch + i)
         k = jax.random.fold_in(k, ax)
@@ -543,8 +604,9 @@ def make_diff_renderer_sharded_wide(
             lm = jnp.zeros((total_c, 3), jnp.float32)
             for e, base_batch, n_batches, last_valid in schedule:
                 ev = em_vec_scaled(e, power)
+                sc = scale_pair(e, albedo_aa, power) if i8 else (None, None)
 
-                def body(i, lm, ev=ev, base_batch=base_batch,
+                def body(i, lm, ev=ev, sc=sc, base_batch=base_batch,
                          n_batches=n_batches, last_valid=last_valid):
                     nv = local_n_valid(i, ax, n_batches, last_valid)
                     if fused:
@@ -553,11 +615,13 @@ def make_diff_renderer_sharded_wide(
                                 aa_c.fields, albedo_aa, ev,
                                 local_seed(i, ax, base_batch), nv, cfg,
                                 aa_c.group_counts, total_c, b_local, S,
+                                i8=i8, scale=sc[0], inv_scale=sc[1],
                             )
                         return lm + trace_splat_wide_diff(
                             aa_c.fields, albedo_aa, ev,
                             local_batch(i, ax, base_batch), nv, cfg,
                             aa_c.group_counts, total_c, S,
+                            i8=i8, scale=sc[0], inv_scale=sc[1],
                         )
                     idx, col, _ = trace_deposits_wide_diff(
                         aa_c.fields, albedo_aa, ev,

@@ -174,7 +174,8 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
     starts = (0, g0, g0 + g1)
 
     def body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref, idx_ref,
-             col_ref, ridx_ref, g_ref=None, da_ref=None, dw_ref=None):
+             col_ref, ridx_ref, g_ref=None, da_ref=None, dw_ref=None,
+             scale_ref=None):
         if rng:
             # counter-hash RNG per (photon, draw): murmur3's fmix32
             # finalizer over (global photon id, draw column, batch seed) —
@@ -498,7 +499,14 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                 # int8 MXU rate (2x) with an exact int32 accumulator.
                 texi = jnp.where(alive > 0, btex, 0.0).astype(jnp.int32)
                 if i8:
-                    inv_s = np.float32(1.0 / splat_color_scale(cfg))
+                    # diff tier: the quantization grid depends on the free
+                    # `power`/`albedo` parameters, so the inverse scale
+                    # arrives as an SMEM scalar (trace_splat_wide_diff*);
+                    # production keeps the compile-time constant
+                    if scale_ref is not None:
+                        inv_s = scale_ref[0, 0]
+                    else:
+                        inv_s = np.float32(1.0 / splat_color_scale(cfg))
                     depkey = gid * jnp.int32(3 * D) + jnp.int32(3 * d)
 
                     def dith(key):
@@ -672,6 +680,14 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  dw_ref=dw_ref)
 
         return kernel_fold
+
+    if diff and fuse_h and i8:
+        def kernel_diff_fused_i8(em_ref, nvalid_ref, scene_ref, albedo_ref,
+                                 scale_ref, u_ref, acc_ref):
+            body(em_ref, nvalid_ref, scene_ref, albedo_ref, u_ref,
+                 acc_ref, None, None, scale_ref=scale_ref)
+
+        return kernel_diff_fused_i8
 
     if diff and fuse_h:
         def kernel_diff_fused(em_ref, nvalid_ref, scene_ref, albedo_ref,
@@ -1084,7 +1100,7 @@ def cotangent_t(g: jnp.ndarray, num_texels: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
-                     "unroll", "chains"),
+                     "unroll", "chains", "i8"),
 )
 def trace_splat_wide_diff(
     aa_fields: jnp.ndarray,
@@ -1098,13 +1114,22 @@ def trace_splat_wide_diff(
     sublanes: int = 8,
     unroll: int = 4,
     chains: int = 1,
+    i8: bool = False,
+    scale=None,
+    inv_scale=None,
 ):
     """Differentiable-path FUSED trace+splat: per-rect albedo in-kernel AND
     the in-kernel exact one-hot splat — the diff forward at the production
     forward's speed (no deposit stream to HBM, no standalone splat pass;
     the round-3 diff forward paid ~60% of its wall clock for those two).
-    Always the bf16 splat grade (the diff tier never quantizes to int8:
-    exact_splat_cfg)."""
+
+    With `i8` the binning runs at int8 MXU rate like the production
+    inkernel_i8 splat, but over a DYNAMIC quantization grid: deposit colors
+    carry the free `power`/`albedo` parameters, so the caller supplies
+    (scale, inv_scale) — traced f32 scalars covering the parameter-scaled
+    deposit bound (diff/render.py computes them so they reduce bit-exactly
+    to the production constants at power<=1, albedo<=1). The backward is
+    untouched either way (the fold kernel replays exact f32 colors)."""
     B, U = uniforms.shape
     S = int(sublanes)
     TB = S * LANES
@@ -1112,37 +1137,54 @@ def trace_splat_wide_diff(
     n_blocks = B // TB
     H = _acc_h(num_texels)
 
+    if i8:
+        check_i8_accumulator(cfg, B)
+        assert scale is not None and inv_scale is not None
     u_wide = (
         uniforms.reshape(n_blocks, S, LANES, U)
         .transpose(0, 3, 1, 2)
         .reshape(n_blocks * U * S, LANES)
     )
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
-                          chains=chains, fuse_h=H)
+                          chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     N = aa_fields.shape[1]
+    specs = [
+        pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N)]
+    if i8:
+        specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.full((1, 1), inv_scale, jnp.float32))
+    specs.append(
+        pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(u_wide)
     acc = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((U * S, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
-    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), u_wide)
+        out_shape=jax.ShapeDtypeStruct(
+            (H, 3 * LANES), jnp.int32 if i8 else jnp.float32
+        ),
+    )(*args)
+    if i8:
+        acc = acc.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
     return acc_to_lightmap(acc, num_texels)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "batch_size",
-                     "sublanes", "unroll", "chains"),
+                     "sublanes", "unroll", "chains", "i8"),
 )
 def trace_splat_wide_diff_rng(
     aa_fields: jnp.ndarray,
@@ -1157,9 +1199,13 @@ def trace_splat_wide_diff_rng(
     sublanes: int = 8,
     unroll: "int | None" = None,
     chains: int = 1,
+    i8: bool = False,
+    scale=None,
+    inv_scale=None,
 ):
     """trace_splat_wide_diff with the in-kernel counter-hash PRNG: the
-    production diff forward — neither uniforms nor deposits touch HBM."""
+    production diff forward — neither uniforms nor deposits touch HBM.
+    `i8` + (scale, inv_scale) as in trace_splat_wide_diff."""
     B = int(batch_size)
     S = int(sublanes)
     TB = S * LANES
@@ -1169,26 +1215,43 @@ def trace_splat_wide_diff_rng(
     U = uniforms_per_photon(D)
     H = _acc_h(num_texels)
 
+    if i8:
+        check_i8_accumulator(cfg, B)
+        assert scale is not None and inv_scale is not None
     unroll = resolve_unroll(unroll)
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, diff=True,
-                          rng=True, chains=chains, fuse_h=H)
+                          rng=True, chains=chains, fuse_h=H, i8=i8)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     seed_arr = jnp.full((1, 1), seed, jnp.int32)
     N = aa_fields.shape[1]
+    specs = [
+        pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N)]
+    if i8:
+        specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.full((1, 1), inv_scale, jnp.float32))
+    specs.append(
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
+    args.append(seed_arr)
     acc = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((F_AA, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((H, 3 * LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, 3 * LANES), jnp.float32),
-    )(em_vec, nvalid_arr, aa_fields, albedo_aa.reshape(1, N), seed_arr)
+        out_shape=jax.ShapeDtypeStruct(
+            (H, 3 * LANES), jnp.int32 if i8 else jnp.float32
+        ),
+    )(*args)
+    if i8:
+        acc = acc.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
     return acc_to_lightmap(acc, num_texels)
 
 
@@ -1387,11 +1450,11 @@ def compact_arena_positions(aa: AARectsDev) -> np.ndarray:
 def exact_splat_cfg(cfg: PhotonConfig) -> PhotonConfig:
     """cfg with any int8 splat demoted to its bf16 (f32-grade) twin.
 
-    The differentiable renderers use this: their deposit colors carry the
-    free `power` parameter (diff/render.py em_vec_scaled), which can exceed
-    the fixed 7-bit emitter grid (splat_color_scale) and would CLIP — a
-    silent bias in the fitted forward. The diff tier is the exact tier by
-    design, so it never quantizes."""
+    Round-3 history: the diff renderers used this to avoid clipping the
+    FIXED 7-bit emitter grid when deposit colors carry a free `power` > 1.
+    Since round 4 they instead run i8 on a DYNAMIC grid (the production
+    constants times a parameter bound, diff/render.py scale_pair), so this
+    helper remains only for callers that want to force the exact tier."""
     m = {"fused_i8": "fused", "inkernel_i8": "inkernel"}
     if cfg.splat in m:
         return dataclasses.replace(cfg, splat=m[cfg.splat])

@@ -305,9 +305,13 @@ async function main(){
     pitch = Math.max(-1.4,Math.min(1.4,pitch-(e.clientY-drag[1])*0.005));
     drag=[e.clientX,e.clientY];
   });
-  document.getElementById("hud").innerHTML =
-    "offer "+id+" — drag to look, WASD to walk, R/F up/down"
-    + ' — <a href="/">gallery</a>';
+  // textContent (not innerHTML): `id` comes from the query string
+  const hud = document.getElementById("hud");
+  hud.textContent =
+    "offer "+id+" — drag to look, WASD to walk, R/F up/down — ";
+  const back = document.createElement("a");
+  back.href = "/"; back.textContent = "gallery";
+  hud.appendChild(back);
 
   let last=performance.now();
   function frame(now){

@@ -40,6 +40,53 @@ def compile_scene(layout_png: str, scale: float, cfg: RenderConfig):
     return geometry.Scene(lay), collision_json
 
 
+def supersampled_cfg(cfg: RenderConfig, ss: int) -> RenderConfig:
+    """cfg with the texel density raised ss^2-fold, so every wall's
+    power-of-two tile grid (rectangle.c:15-57 sizing loop) gets exactly
+    ss x the tiles in each dimension."""
+    return cfg.replace(
+        scene=dataclasses.replace(
+            cfg.scene, tile_size=cfg.scene.tile_size * ss * ss
+        )
+    )
+
+
+def downsample_supersampled(
+    scene, scene_ss, texels_ss: np.ndarray, ss: int
+) -> np.ndarray:
+    """Box-average an ss x-supersampled render down to `scene`'s texel grid.
+
+    The design hint is the reference's dead supersampled tone conversion
+    (/root/reference/imageProcessing.c:145-184,
+    subsampleAndConvertToPerceptive): average each output texel's ss*ss
+    sub-texel block EXCLUDING all-zero sub-texels (unlit seam texels would
+    otherwise darken every lightmap edge), then tone-map the average. The
+    averaging happens here on the pre-tonemap radiance; the usual tile
+    export tone-maps the result."""
+    from .scene.rectangle import num_tiles
+
+    out = np.zeros((scene.num_texels, 3), np.float32)
+    for r, r2 in zip(scene.walls, scene_ss.walls):
+        if (r2.wtiles, r2.htiles) != (r.wtiles * ss, r.htiles * ss):
+            raise ValueError(
+                f"supersample={ss}: wall tile grid {r.wtiles}x{r.htiles} "
+                f"did not scale to {r2.wtiles}x{r2.htiles}"
+            )
+        block = texels_ss[r2.base : r2.base + num_tiles(r2)].reshape(
+            r.htiles, ss, r.wtiles, ss, 3
+        )
+        # the reference counts a sub-texel only when EVERY channel is
+        # non-zero (imageProcessing.c:160-166)
+        lit = np.all(block != 0.0, axis=-1, keepdims=True)
+        count = lit.sum(axis=(1, 3))
+        total = np.where(lit, block, 0.0).sum(axis=(1, 3))
+        avg = np.divide(
+            total, count, out=np.zeros_like(total), where=count > 0
+        )
+        out[r.base : r.base + num_tiles(r)] = avg.reshape(-1, 3)
+    return out
+
+
 def _auto_mesh():
     """The production photon mesh: all global devices, or None single-chip.
 
@@ -206,6 +253,7 @@ def render(
     preview: bool = False,
     dump_raw: bool = False,
     dilate_seams: bool = False,
+    supersample: int = 1,
 ) -> RenderResult:
     """Full pipeline: the TPU-native `./globalIllumination <png> <scale>`.
 
@@ -222,7 +270,13 @@ def render(
     dispatch segment, exposure-scaled by the traced-so-far fraction so
     brightness is final from the first preview and noise converges — the
     TPU analog of the reference browser port posting each wall's lightmap
-    incrementally (/root/reference/worker.js:43-60)."""
+    incrementally (/root/reference/worker.js:43-60).
+
+    `supersample=N` (N > 1, photon engines): render at N^2 x the texel
+    density and box-average non-zero sub-texels down to the configured
+    grid before tone mapping — the reference's dead supersampled-tone
+    design hint done right (imageProcessing.c:145-184; the other half of
+    the pair whose dilation shipped as --dilate-seams)."""
     from .parallel import multihost
 
     cfg = cfg or DEFAULT_CONFIG
@@ -255,6 +309,12 @@ def render(
 
     on_segment = None
     photon_engine = cfg.engine in (Engine.PHOTON_XLA, Engine.PHOTON_PALLAS)
+    ss = int(supersample)
+    if ss > 1 and preview:
+        from .utils.progress import warn
+
+        warn("--preview is unsupported with --supersample; ignored")
+        preview = False
     if preview and photon_engine and primary:
         full_scale = exposure_scale(
             scene, cfg.photon.samples_per_area, cfg.photon.exposure
@@ -276,7 +336,16 @@ def render(
 
         warn("--preview applies to the photon engines only; ignored")
 
-    texels = run_engine(scene, cfg, mesh, checkpoint_path, on_segment)
+    if ss > 1:
+        # render on the ss^2-density twin (its own exposure normalization
+        # is self-consistent: ss^2 x numTiles cancels ss^2 x fewer photons
+        # per texel, main.c:73-77), then box-average down
+        cfg_ss = supersampled_cfg(cfg, ss)
+        scene_ss, _ = compile_scene(layout_png, scale, cfg_ss)
+        texels_ss = run_engine(scene_ss, cfg_ss, mesh, checkpoint_path)
+        texels = downsample_supersampled(scene, scene_ss, texels_ss, ss)
+    else:
+        texels = run_engine(scene, cfg, mesh, checkpoint_path, on_segment)
     tile_paths = []
     if primary:
         tile_paths = tiles_io.save_tiles(

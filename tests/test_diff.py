@@ -96,16 +96,20 @@ def test_wide_diff_forward_matches_wide_engine(setup):
     np.testing.assert_array_equal(lm_diff, lm_plain)
 
 
-def test_wide_diff_demotes_int8_splat(setup):
-    """The diff tier never quantizes: with cfg.splat='fused_i8' (or the
-    production 'inkernel_i8'), a power > 1 would push deposit colors past
-    the fixed 7-bit grid and CLIP silently. exact_splat_cfg demotes the
-    splat, so the forward at power=2 must match the f32-grade splat."""
+def test_wide_diff_i8_dynamic_scale_no_clipping(setup):
+    """Round-4 i8 diff tier: with cfg.splat='inkernel_i8' the forward runs
+    the int8 splat on a DYNAMIC quantization grid — the production grid
+    times max(1,|power|)*max(1,max albedo)^D — so a power > 1 must NOT
+    clip the 7-bit bins (a fixed grid would silently lose ~12% of the
+    bright first-bounce deposits at power=2). Gate: total energy matches
+    the exact-f32 scatter tier; per-texel error stays at the (power-
+    inflated) dither-quantization level."""
     import dataclasses
 
     from jax.experimental.pallas import tpu as pltpu
 
     from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.engines.photon_pallas_wide import splat_color_scale
     from flatmatch_tpu.ops.aa_scene import pack_aa
 
     scene, rects, emitters, albedo0, power0, w, render, oracle = setup
@@ -125,11 +129,13 @@ def test_wide_diff_demotes_int8_splat(setup):
                 sublanes=1,
             )(albedo0, power2)
         )
-    # bf16-fused vs scatter: color-quantization-level agreement only —
-    # but NO clipping: total energy must match (clipping would lose ~12%
-    # of the bright first-bounce deposits at power=2)
+    # unbiased dither: total energy at the exact tier's level
     np.testing.assert_allclose(got.sum(), ref.sum(), rtol=3e-3)
-    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=6e-3 * 36)
+    # per-texel: each deposit rounds within one dynamic grid step
+    # (scale * corr, corr = 2 at power=2); a texel with k deposits errs
+    # at most k steps and k is small at this budget
+    step = splat_color_scale(CFG) * 2.0
+    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=4.0 * step)
 
 
 def test_wide_diff_gradients_match_oracle(setup):
@@ -255,6 +261,98 @@ def test_wide_diff_rng_forward_matches_production_bitexact(setup):
         )
     assert prod.sum() > 0
     np.testing.assert_array_equal(prod, diff)
+
+
+def test_wide_diff_i8_rng_forward_matches_production_bitexact(setup):
+    """The i8 diff forward's DYNAMIC quantization grid reduces to the
+    production constants bit-exactly at power<=1, albedo<=1 (corr is
+    exactly 1.0 and scale/inv_scale are the host-computed production
+    values) — so the device-RNG i8 diff forward must reproduce the
+    production inkernel_i8 engine BIT-exactly at default parameters:
+    same counters, same dither keys, same int32 bins, same de-scale."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines.photon_pallas import emitter_vector
+    from flatmatch_tpu.engines.photon_pallas_wide import (
+        compact_aa, splat_color_scale, trace_splat_wide_diff_rng,
+        trace_splat_wide_rng,
+    )
+    from flatmatch_tpu.engines.schedule import emitter_slice
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    cfg = dataclasses.replace(CFG, splat="inkernel_i8", device_rng=True)
+    aa_c, total_c, _ = compact_aa(aa, scene.num_texels)
+    ev = emitter_vector(emitter_slice(emitters, 0))
+    albedo_aa = albedo0[jnp.asarray(np.asarray(aa.perm), jnp.int32)]
+    # the diff renderer's scale_pair at power=1, albedo=0.9: corr == 1.0
+    corr = jnp.maximum(jnp.float32(1.0), jnp.abs(power0[0])) * (
+        jnp.maximum(jnp.float32(1.0), jnp.max(albedo0)) ** CFG.max_depth
+    )
+    scale = np.float32(splat_color_scale(cfg)) * corr
+    inv_scale = np.float32(1.0 / splat_color_scale(cfg)) / corr
+    with pltpu.force_tpu_interpret_mode():
+        prod = np.asarray(
+            trace_splat_wide_rng(
+                aa_c.fields, ev, 1234, 512, cfg, aa_c.group_counts,
+                total_c, 512, 1, unroll=4, i8=True,
+            )
+        )
+        diff = np.asarray(
+            trace_splat_wide_diff_rng(
+                aa_c.fields, albedo_aa, ev, 1234, 512, cfg,
+                aa_c.group_counts, total_c, 512, 1, unroll=4,
+                i8=True, scale=scale, inv_scale=inv_scale,
+            )
+        )
+    assert prod.sum() > 0
+    np.testing.assert_array_equal(prod, diff)
+
+
+def test_wide_diff_tail_shrink_bit_identical(setup):
+    """The diff tier's shrunk-grid tail batches (device RNG): forward
+    lightmap AND gradients must be bit-identical with tail_shrink on/off —
+    masked photons deposit exact +0.0 and fold exact 0 cotangent, so
+    dropping their blocks changes nothing (the production analog is
+    test_pallas_wide.test_tail_shrink_bit_identical)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, rects, emitters, albedo0, power0, w, render, oracle = setup
+    aa = pack_aa(scene.walls)
+    # batch 512 against the fixture's per-emitter counts gives partial
+    # tails (any count not a multiple of 512 shrinks)
+    cfg = dataclasses.replace(
+        CFG, splat="inkernel", device_rng=True, photons_per_batch=512
+    )
+    with pltpu.force_tpu_interpret_mode():
+        rs = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels, cfg, aa, sublanes=1,
+            tail_shrink=True,
+        )
+        rf = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels, cfg, aa, sublanes=1,
+            tail_shrink=False,
+        )
+        lm_s = np.asarray(rs(albedo0, power0))
+        lm_f = np.asarray(rf(albedo0, power0))
+        gs = jax.grad(
+            lambda a, p: jnp.sum(rs(a, p) * w), argnums=(0, 1)
+        )(albedo0, power0)
+        gf = jax.grad(
+            lambda a, p: jnp.sum(rf(a, p) * w), argnums=(0, 1)
+        )(albedo0, power0)
+    assert lm_s.sum() > 0
+    np.testing.assert_array_equal(lm_s, lm_f)
+    np.testing.assert_array_equal(np.asarray(gs[0]), np.asarray(gf[0]))
+    np.testing.assert_array_equal(np.asarray(gs[1]), np.asarray(gf[1]))
 
 
 def test_wide_diff_rng_gradients(setup):

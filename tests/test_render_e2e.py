@@ -185,3 +185,51 @@ def test_cli_dilate_seams_smoke(tmp_path):
     ])
     assert rc == 0
     assert list((tmp_path / "tiles").glob("tile_*.png"))
+
+
+def test_downsample_supersampled_semantics():
+    """The supersampled downsample (imageProcessing.c:145-184 hint):
+    each output texel averages its ss*ss sub-texel block EXCLUDING
+    sub-texels with any zero channel; an all-zero block stays zero."""
+    from flatmatch_tpu.render import downsample_supersampled
+    from flatmatch_tpu.scene.rectangle import Rect
+
+    class _S:  # minimal scene stand-ins
+        def __init__(self, walls, num_texels):
+            self.walls = walls
+            self.num_texels = num_texels
+
+    r = Rect(pos=np.zeros(3, np.float32), width=np.zeros(3, np.float32),
+             height=np.zeros(3, np.float32), n=np.zeros(3, np.float32),
+             base=0, wtiles=2, htiles=1)
+    r2 = Rect(pos=r.pos, width=r.width, height=r.height, n=r.n,
+              base=0, wtiles=4, htiles=2)
+    tex = np.zeros((8, 3), np.float32)
+    # texel 0's block = cols 0-1 of both rows: one lit, one half-lit
+    # (zero g channel -> excluded), two zero
+    tex[0] = (4.0, 8.0, 12.0)
+    tex[4] = (99.0, 0.0, 99.0)    # any-zero channel: excluded
+    # texel 1's block (cols 2-3) stays all-zero
+    out = downsample_supersampled(_S([r], 2), _S([r2], 8), tex, 2)
+    np.testing.assert_allclose(out[0], (4.0, 8.0, 12.0))
+    np.testing.assert_allclose(out[1], (0.0, 0.0, 0.0))
+
+
+def test_render_supersample_end_to_end(tmp_path):
+    """supersample=2: tiles export at the BASE grid, the supersampled twin
+    scene really had 2x tiles per dimension, and the lightmap is finite
+    and lit."""
+    res = render(
+        str(FIXTURES / "tiny.png"), str(tmp_path), 30.0,
+        _cfg(Engine.PHOTON_XLA), supersample=2,
+    )
+    assert len(res.tile_paths) == len(res.scene.walls)
+    for p, rect in zip(res.tile_paths, res.scene.walls):
+        img = PILImage.open(p)
+        assert img.size == (rect.wtiles, rect.htiles)
+    assert np.isfinite(res.texels).all()
+    assert res.texels.sum() > 0
+    # same scene artifacts as the base render (ss touches only texels)
+    assert (tmp_path / "geometry.json").read_text() == (
+        FIXTURES / "tiny_geometry.json"
+    ).read_text()
