@@ -139,7 +139,7 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
         splat=os.environ.get("FLATMATCH_BENCH_DIFF_SPLAT", "inkernel_i8"),
         device_rng=True,
     )
-    sub = int(os.environ.get("FLATMATCH_BENCH_DIFF_SUBLANES", 32))
+    sub = int(os.environ.get("FLATMATCH_BENCH_DIFF_SUBLANES", 64))
     ems = pack_emitters(scene, spa / frac, cfg.window_color, cfg.light_color)
     n_small = int(np.asarray(ems.counts).sum())
     render = make_diff_renderer_wide(

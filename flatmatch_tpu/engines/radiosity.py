@@ -236,25 +236,34 @@ def _form_factors_aa_all(
     return jax.lax.fori_loop(0, len(starts), body, ids)
 
 
-def _ff_schedule(scene: Scene, chunk: int):
+def _ff_schedule(scene: Scene, chunk: int, compact_rows: bool = False):
     """Host-side chunk schedule for the form-factor pass (padded rows of a
-    chunk land in the wall's mipmap slots or the next wall's rows; later
-    writes overwrite the latter, and callers mask non-level-0 rows back to
-    -1). Returns device arrays (centers [C, chunk, 3], normals [C, 3],
-    starts/wis/cis [C])."""
+    chunk land in later rows of the table; later writes overwrite them, and
+    callers exclude trailing junk rows). Returns device arrays
+    (centers [C, chunk, 3], normals [C, 3], starts/wis/cis [C]).
+
+    `compact_rows=True` indexes table rows COMPACTLY over level-0 wall
+    texels (row = position in the concatenation of the walls' level-0
+    ranges) instead of by arena texel id: the arena interleaves ~25%
+    mipmap slots that never fire rays, and a compact table skips their
+    gather cost and memory entirely (round-4 floor analysis: the gather
+    is the radiosity bottleneck and its cost is per-ROW)."""
     centers_all, normals, starts, wis, cis = [], [], [], [], []
+    row0 = 0
     for wi, wall in enumerate(scene.walls):
         centers = tile_centers(wall)
         T = num_tiles(wall)
+        base = row0 if compact_rows else wall.base
         for ci, s in enumerate(range(0, T, chunk)):
             c = centers[s : s + chunk]
             if len(c) < chunk:
                 c = np.concatenate([c, np.zeros((chunk - len(c), 3), f32)])
             centers_all.append(c)
             normals.append(np.asarray(wall.n, f32))
-            starts.append(wall.base + s)
+            starts.append(base + s)
             wis.append(wi)
             cis.append(ci)
+        row0 += T
     return (
         jnp.asarray(np.stack(centers_all)),
         jnp.asarray(np.stack(normals)),
@@ -264,18 +273,33 @@ def _ff_schedule(scene: Scene, chunk: int):
     )
 
 
+def _level0_arena_indices(scene: Scene) -> np.ndarray:
+    """Arena texel id of each compact row (the scatter map from compact
+    gather results back into the full texel arena)."""
+    return np.concatenate(
+        [
+            np.arange(w.base, w.base + num_tiles(w), dtype=np.int64)
+            for w in scene.walls
+        ]
+    )
+
+
 def _form_factors_device(scene: Scene, rects_or_aa, cfg: RadiosityConfig,
-                         rows_pad: int, use_aa: bool) -> jnp.ndarray:
+                         rows_pad: int, use_aa: bool,
+                         compact_rows: bool = False) -> jnp.ndarray:
     """Source-texel-id table as a DEVICE-resident [rows_pad, rays] int32.
 
     At production scale the table is gigabytes (numTexels x 10k rays, the
     reference's acknowledged memory hog, radiosityNative.c:148-154); it fits
     v5e HBM, and keeping it on device removes the host round-trip that would
-    otherwise stream it out once and back every gather iteration."""
+    otherwise stream it out once and back every gather iteration.
+    `compact_rows` selects the level-0-compact row layout (_ff_schedule)."""
     rays = int(cfg.rays_per_texel)
     chunk = int(cfg.texels_per_chunk)
     ids = jnp.full((rows_pad, rays), -1, jnp.int32)
-    centers_all, normals, starts, wis, cis = _ff_schedule(scene, chunk)
+    centers_all, normals, starts, wis, cis = _ff_schedule(
+        scene, chunk, compact_rows
+    )
 
     if use_aa:
         return _form_factors_aa_all(
@@ -344,19 +368,21 @@ def render_radiosity_sharded(
     rays_total = int(cfg.rays_per_texel)
     rays_local = (rays_total + n_dev - 1) // n_dev
     rays_eff = rays_local * n_dev  # actual total budget after rounding
+    # compact level-0 row space, as in render_radiosity
+    l0_total = int(sum(num_tiles(r) for r in scene.walls))
+    l0_idx = jnp.asarray(_level0_arena_indices(scene), jnp.int32)
     chunk = max(1, (1 << 22) // max(rays_local, 1))
-    n_chunks = (scene.num_texels + chunk - 1) // chunk
+    n_chunks = (l0_total + chunk - 1) // chunk
     rows_pad = max(
-        n_chunks * chunk, scene.num_texels + int(cfg.texels_per_chunk)
+        n_chunks * chunk, l0_total + int(cfg.texels_per_chunk)
     )
 
     centers_all, normals, starts, wis, cis = _ff_schedule(
-        scene, int(cfg.texels_per_chunk)
+        scene, int(cfg.texels_per_chunk), compact_rows=True
     )
-    level0 = np.zeros(rows_pad, bool)
-    l0 = scene.level0_mask()
-    level0[: len(l0)] = l0
-    level0_j = jnp.asarray(level0)
+    # junk rows: only the trailing [l0_total, rows_pad) slack (the last
+    # wall's chunk padding) — masked back to -1 below
+    tail_junk = jnp.arange(rows_pad) >= l0_total
     rects_dev = pack_rects(rects) if aa is None else None
 
     repl = P()
@@ -372,7 +398,7 @@ def render_radiosity_sharded(
         check_vma=False,
     )
     def build_table(scene_arg, centers_all, normals, starts, wis, cis,
-                    level0_j):
+                    tail_junk):
         ax = jax.lax.axis_index("photons")
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), ax)
         ids = jnp.full((rows_pad, rays_local), -1, jnp.int32)
@@ -396,12 +422,12 @@ def render_radiosity_sharded(
                 )
 
             ids = jax.lax.fori_loop(0, C, body, ids)
-        return jnp.where(level0_j[:, None], ids, -1)
+        return jnp.where(tail_junk[:, None], jnp.int32(-1), ids)
 
     ids_sharded = jax.jit(build_table)(
         aa.fields if aa is not None else rects_dev,
         jnp.asarray(centers_all), jnp.asarray(normals),
-        jnp.asarray(starts), jnp.asarray(wis), jnp.asarray(cis), level0_j,
+        jnp.asarray(starts), jnp.asarray(wis), jnp.asarray(cis), tail_junk,
     )
 
     num_texels = scene.num_texels
@@ -429,18 +455,23 @@ def render_radiosity_sharded(
         dest = gather_all(src_dev, ids)
         dest_full = (
             jnp.zeros((total, 3), jnp.float32)
-            .at[:num_texels]
-            .set(dest[:num_texels])
+            .at[l0_idx]
+            .set(dest[:l0_total])
         )
-        nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays_eff)
-        return apply_plan(nxt, plan)
+        return src_dev * (1.0 - rho) + dest_full * (rho / rays_eff)
 
-    # one device program for all iterations (one psum per iteration stays)
+    # one device program for all iterations (one psum per iteration stays).
+    # The mipmap rebuild is hoisted OUT of the loop: the gather reads only
+    # level-0 ids (the reference records getMipmapTexelId(..., 0),
+    # radiosityNative.c:211-217), so per-iteration rebuilds are overwritten
+    # unread every iteration — one rebuild after the last relax yields the
+    # bit-identical final arena at 1/iterations of the mipmap cost.
     @ft.partial(jax.jit, static_argnames=("iters",))
     def relax(src_dev, ids, iters: int):
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, iters, lambda _, s: iteration(s, ids), src_dev
         )
+        return apply_plan(out, plan)
 
     src_dev = relax(jnp.asarray(src), ids_sharded, int(cfg.iterations))
 
@@ -472,27 +503,31 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
 
     rho = f32(cfg.reflectance)
     rays = int(cfg.rays_per_texel)
+    # COMPACT row space: only level-0 wall texels fire rays
+    # (radiosityNative.c:170), so the table indexes them contiguously —
+    # the arena's ~25% interleaved mipmap slots would otherwise be
+    # gathered as masked -1 rows every iteration and pad the table by
+    # the same fraction (1.2 GB at the production 10k-ray budget)
+    l0_total = int(sum(num_tiles(r) for r in scene.walls))
+    l0_idx = jnp.asarray(_level0_arena_indices(scene), jnp.int32)
     chunk = max(1, (1 << 22) // max(rays, 1))  # ~4M gathered ids per step
-    n_chunks = (scene.num_texels + chunk - 1) // chunk
+    n_chunks = (l0_total + chunk - 1) // chunk
     # table must also fit the LAST form-factor chunk's padding in full —
     # dynamic_update_slice clamps out-of-bounds starts, which would shift
     # the write backwards over valid rows
     rows_pad = max(
-        n_chunks * chunk, scene.num_texels + int(cfg.texels_per_chunk)
+        n_chunks * chunk, l0_total + int(cfg.texels_per_chunk)
     )
 
     if aa is not None:
-        ids_dev = _form_factors_device(scene, aa, cfg, rows_pad, use_aa=True)
+        ids_dev = _form_factors_device(
+            scene, aa, cfg, rows_pad, use_aa=True, compact_rows=True
+        )
     else:
         ids_dev = _form_factors_device(
-            scene, pack_rects(rects), cfg, rows_pad, use_aa=False
+            scene, pack_rects(rects), cfg, rows_pad, use_aa=False,
+            compact_rows=True,
         )
-    # only level-0 wall texels fire rays (radiosityNative.c:170); reset any
-    # rows clobbered by chunk padding
-    level0 = np.zeros(rows_pad, bool)
-    l0 = scene.level0_mask()
-    level0[: len(l0)] = l0
-    ids_dev = jnp.where(jnp.asarray(level0)[:, None], ids_dev, -1)
 
     num_texels = scene.num_texels
 
@@ -505,22 +540,31 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
         dest = jax.lax.fori_loop(
             0, n_chunks, body, jnp.zeros((rows_pad, 3), jnp.float32)
         )
+        # scatter the compact gather results back into the arena (junk
+        # rows beyond l0_total — the last wall's chunk padding — excluded)
         dest_full = (
             jnp.zeros((total, 3), jnp.float32)
-            .at[:num_texels]
-            .set(dest[:num_texels])
+            .at[l0_idx]
+            .set(dest[:l0_total])
         )
-        nxt = src_dev * (1.0 - rho) + dest_full * (rho / rays)
-        return apply_plan(nxt, plan)
+        return src_dev * (1.0 - rho) + dest_full * (rho / rays)
 
     # ALL relaxation iterations as one device program: a python-level loop
     # pays ~0.5-1 s of dispatch latency per jit call through the
-    # interconnect — at reduced ray budgets that was half the wall clock
+    # interconnect — at reduced ray budgets that was half the wall clock.
+    # The mipmap rebuild is hoisted OUT of the loop (round 4): the gather
+    # reads only LEVEL-0 ids (the reference records
+    # getMipmapTexelId(..., 0), radiosityNative.c:211-217), so each
+    # iteration's rebuild was overwritten unread by the next; one rebuild
+    # after the last relax yields the bit-identical final arena at
+    # 1/iterations of the mipmap cost (measured 93 ms/rebuild on
+    # example.png — 0.56 s saved of the 3.2 s rays=1000 pass).
     @functools.partial(jax.jit, static_argnames=("iters",))
     def relax(src_dev, ids, iters: int):
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, iters, lambda _, s: iteration(s, ids), src_dev
         )
+        return apply_plan(out, plan)
 
     src_dev = relax(jnp.asarray(src), ids_dev, int(cfg.iterations))
 

@@ -209,6 +209,111 @@ def _trace_emitter_sharded_wide(
     return shard_fn(lightmap, aa_fields, key)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "group_counts", "sublanes",
+                     "schedule", "total_c", "mesh"),
+)
+def _render_all_sharded_wide(
+    aa_fields, emitters: EmittersDev, key, cfg: PhotonConfig,
+    batch_size: int, group_counts, sublanes: int, schedule, total_c: int,
+    mesh: Mesh,
+):
+    """The WHOLE emitter schedule as ONE sharded device program — the
+    shard_map analog of photon_pallas_wide._render_all_wide.
+
+    The per-segment path (_trace_emitter_sharded_wide via run_schedule)
+    pays a host dispatch plus a psum per segment; at bench budgets that
+    cost the sharded single-chip datum ~40% vs the non-sharded program
+    (SCALING_r04 note2). Here every device runs its local slice of every
+    batch of every emitter inside one program and ONE psum combines the
+    local lightmaps at the end. Same (seed, batch, device) keying as the
+    segmented path; device-RNG tail batches launch on the production
+    shrunk grid (masked photons deposit exact +0.0, so per-device partial
+    sums are bit-identical to the full-grid ones — only the psum
+    SEGMENTATION differs from the checkpointed path, which psums per
+    segment; with one device the two paths are bit-identical)."""
+    from ..engines.photon_pallas import emitter_vector
+    from ..engines.photon_pallas_wide import (
+        _splat, batch_seed, device_seed, trace_deposits_wide,
+        trace_deposits_wide_rng, trace_splat_wide, trace_splat_wide_rng,
+    )
+    from ..engines.schedule import emitter_slice
+
+    n_dev = mesh.shape["photons"]
+    b_local = batch_size // n_dev
+    TB = sublanes * LANES
+    U = uniforms_per_photon(cfg.max_depth)
+    repl = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(repl, repl), out_specs=repl,
+        check_vma=False,
+    )
+    def run(aa_fields, key):
+        ax = jax.lax.axis_index("photons")
+        lm = jnp.zeros((total_c, 3), jnp.float32)
+
+        def one_batch(lm, ev, abs_i, nv_global, bsz):
+            nv_local = jnp.clip(
+                nv_global - ax * b_local, 0, b_local
+            ).astype(jnp.int32)
+            if cfg.device_rng:
+                seed = device_seed(batch_seed(cfg.seed, abs_i), ax)
+                if cfg.splat in ("inkernel", "inkernel_i8"):
+                    return lm + trace_splat_wide_rng(
+                        aa_fields, ev, seed, nv_local, cfg, group_counts,
+                        total_c, bsz, sublanes,
+                        i8=(cfg.splat == "inkernel_i8"),
+                    )
+                idx, col = trace_deposits_wide_rng(
+                    aa_fields, ev, seed, nv_local, cfg, group_counts,
+                    bsz, sublanes,
+                )
+                return _splat(lm, idx, col, cfg)
+            k = jax.random.fold_in(key, abs_i)
+            k = jax.random.fold_in(k, ax)
+            u = jax.random.uniform(k, (b_local, U), dtype=jnp.float32)
+            if cfg.splat in ("inkernel", "inkernel_i8"):
+                return lm + trace_splat_wide(
+                    aa_fields, ev, u, nv_local, cfg, group_counts,
+                    total_c, sublanes, i8=(cfg.splat == "inkernel_i8"),
+                )
+            idx, col = trace_deposits_wide(
+                aa_fields, ev, u, nv_local, cfg, group_counts, sublanes,
+            )
+            return _splat(lm, idx, col, cfg)
+
+        for e, base_batch, n_batches, last_valid in schedule:
+            ev = emitter_vector(emitter_slice(emitters, e))
+
+            def body(i, lm, ev=ev, base_batch=base_batch):
+                return one_batch(
+                    lm, ev, base_batch + i, jnp.int32(batch_size), b_local
+                )
+
+            lm = jax.lax.fori_loop(0, n_batches - 1, body, lm)
+            # tail: the largest LOCAL valid count over devices is device
+            # 0's min(b_local, last_valid); shrink the local grid to the
+            # covering power-of-two block count (device-RNG only — the
+            # threefry path's uniforms shape feeds the draws)
+            b_tail = b_local
+            lv_loc = min(b_local, last_valid)
+            if cfg.device_rng and lv_loc < b_local:
+                blocks = -(-lv_loc // TB)
+                p2 = 1
+                while p2 < blocks:
+                    p2 *= 2
+                b_tail = min(b_local, p2 * TB)
+            lm = one_batch(
+                lm, ev, base_batch + n_batches - 1,
+                jnp.int32(last_valid), b_tail,
+            )
+        return jax.lax.psum(lm, "photons")
+
+    return run(aa_fields, key)
+
+
 def render_photons_sharded_wide(
     rects: RectsDev,
     emitters: EmittersDev,
@@ -249,6 +354,26 @@ def render_photons_sharded_wide(
 
     key = jax.random.PRNGKey(cfg.seed)
     aa_c, total_c, expand = compact_aa(aa, num_texels)
+
+    if checkpoint_path is None and on_segment is None:
+        # fast path: the whole schedule as one sharded program, one psum
+        counts = np.asarray(emitters.counts)
+        schedule = []
+        base_batch = 0
+        for e in range(len(counts)):
+            n = int(counts[e])
+            if n == 0:
+                continue
+            n_batches = (n + B - 1) // B
+            schedule.append(
+                (e, base_batch, n_batches, n - (n_batches - 1) * B)
+            )
+            base_batch += n_batches
+        compact_lm = _render_all_sharded_wide(
+            aa_c.fields, emitters, key, cfg, B, aa_c.group_counts,
+            sublanes, tuple(schedule), total_c, mesh,
+        )
+        return expand(compact_lm)
 
     def trace_seg(lm, em, base_batch, off, seg, n_batches, last_valid):
         return _trace_emitter_sharded_wide(

@@ -37,6 +37,7 @@ def test_cli_render_smoke(tmp_path):
     assert len(tiles) > 0
 
 
+@pytest.mark.fast
 def test_cli_flag_plumbing():
     args = cli.main.__globals__["_build_cfg"]  # direct unit check
 
@@ -47,6 +48,7 @@ def test_cli_flag_plumbing():
         photons_per_batch = 256
         splat = "bucket_exact"
         device_rng = True
+        checkpoint_every = 16
         radiosity_rays = 55
         radiosity_iterations = 3
         ao_chunk = 64
@@ -55,6 +57,7 @@ def test_cli_flag_plumbing():
     assert cfg.engine is Engine.RADIOSITY
     assert cfg.photon.samples_per_area == 123.0
     assert cfg.photon.splat == "bucket_exact"
+    assert cfg.photon.checkpoint_every == 16
     assert cfg.radiosity.rays_per_texel == 55
     assert cfg.radiosity.iterations == 3
     assert cfg.radiosity.seed == 7
@@ -126,6 +129,7 @@ def test_cli_profile_flag(tmp_path):
     assert any(prof.rglob("*")), "profile dir is empty"
 
 
+@pytest.mark.fast
 def test_rest_tree_byte_parity_with_reference_packager(tmp_path):
     """Golden test against the ACTUAL reference packager
     (/root/reference/generate_flatmatch_entry.py): run it over the same

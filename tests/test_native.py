@@ -12,9 +12,10 @@ from flatmatch_tpu import native
 from flatmatch_tpu.scene import image as im
 from tests.conftest import FIXTURES
 
-pytestmark = pytest.mark.skipif(
-    not native.available(), reason="no C++ toolchain"
-)
+pytestmark = [
+    pytest.mark.fast,
+    pytest.mark.skipif(not native.available(), reason="no C++ toolchain"),
+]
 
 
 @pytest.fixture(scope="module")

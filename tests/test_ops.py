@@ -12,6 +12,8 @@ from flatmatch_tpu.ops.intersect import nearest_hit
 from flatmatch_tpu.ops.tile import texel_index
 from flatmatch_tpu.scene.rectangle import create_rect
 
+pytestmark = pytest.mark.fast
+
 f32 = np.float32
 
 

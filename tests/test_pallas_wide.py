@@ -95,6 +95,7 @@ def test_pack_aa_rejects_tilted_rect():
     assert pack_aa([r]) is None
 
 
+@pytest.mark.fast
 def test_wide_matches_xla_batch(tiny):
     scene, rects, emitters = tiny
     aa = pack_aa(scene.walls)

@@ -9,6 +9,8 @@ import pytest
 from flatmatch_tpu.config import PhotonConfig
 from flatmatch_tpu.engines import photon, photon_oracle_driver
 from flatmatch_tpu.engines.oracle import trace_batch_np
+
+pytestmark = pytest.mark.fast
 from flatmatch_tpu.ops.device_scene import (
     exposure_scale,
     pack_emitters,

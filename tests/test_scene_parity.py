@@ -9,6 +9,8 @@ import pytest
 from flatmatch_tpu.scene import collision, geometry, image as im, layout
 from tests.conftest import FIXTURES, REFERENCE, parse_rects_fixture
 
+pytestmark = pytest.mark.fast
+
 CASES = [
     ("tiny", FIXTURES / "tiny.png"),
     ("mini", FIXTURES / "mini.png"),

@@ -2,8 +2,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flatmatch_tpu.ops.splat import bucket_splat, scatter_splat
+
+pytestmark = pytest.mark.fast
 
 
 def _case(R, T, seed):

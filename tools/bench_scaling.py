@@ -67,7 +67,10 @@ assert aa is not None
 probe = pack_emitters(scene, 1.0, (18, 18, 18), (16, 16, 18))
 spa = BUDGET / float(np.asarray(probe.area).sum())
 cfg = PhotonConfig(
-    samples_per_area=spa, photons_per_batch=1 << 18, seed=0, device_rng=True
+    samples_per_area=spa, photons_per_batch=1 << 18, seed=0, device_rng=True,
+    # the CLI production default: in-kernel int8 splat (the sharded wide
+    # path routes it straight through shard_map, parallel/mesh.py:171-176)
+    splat="inkernel_i8",
 )
 emitters = pack_emitters(scene, spa, cfg.window_color, cfg.light_color)
 n_photons = int(np.asarray(emitters.counts).sum())
