@@ -39,7 +39,7 @@ LANES = 128
 _MISS = 1e30
 
 
-def _make_kernel(group_counts, S: int, sky: float):
+def _make_kernel(group_counts, S: int, sky: float, unroll: int):
     g0, g1, g2 = group_counts
     starts = (0, g0, g0 + g1)
 
@@ -60,27 +60,45 @@ def _make_kernel(group_counts, S: int, sky: float):
             pv, dv_ = p[av], dr[av]
             da_neg = dr[a] < 0
 
-            def body(rr_, best, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
-                     dv_=dv_, da_neg=da_neg, start=starts[a]):
-                j = start + rr_
+            def one_rect(j, best, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
+                         dv_=dv_, da_neg=da_neg):
                 o = scene_ref[A_O, j]
                 sn = scene_ref[A_SN, j]
                 fac = (o - pa) * ia
                 front = jnp.logical_xor(da_neg, sn < 0)
                 u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
                 v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
-                valid = (
-                    front
-                    & (fac >= 0)
-                    & (u >= 0)
-                    & (u <= scene_ref[A_WLEN, j])
-                    & (v >= 0)
-                    & (v <= scene_ref[A_HLEN, j])
+                # min-tree bounds test: the IEEE-exact rewrite shared with
+                # the wide photon kernel (photon_pallas_wide.py) —
+                # bit-identical, ~2 fewer VPU ops per rect test
+                valid = front & (
+                    jnp.minimum(
+                        jnp.minimum(fac, u),
+                        jnp.minimum(
+                            scene_ref[A_WLEN, j] - u,
+                            jnp.minimum(v, scene_ref[A_HLEN, j] - v),
+                        ),
+                    )
+                    >= 0
                 )
                 dist = jnp.where(valid, fac, _MISS)
                 return jnp.minimum(best, dist)
 
-            best = jax.lax.fori_loop(0, count, body, best)
+            # unrolled main loop + static tail; the running minimum is
+            # order-insensitive but in-order keeps the structure shared
+            # with the other AA kernels
+            start = starts[a]
+            n_main = count // unroll
+
+            def loop_body(rr_, best, start=start, one_rect=one_rect):
+                j0 = start + rr_ * unroll
+                for uu in range(unroll):
+                    best = one_rect(j0 + uu, best)
+                return best
+
+            best = jax.lax.fori_loop(0, n_main, loop_body, best)
+            for j in range(start + n_main * unroll, start + count):
+                best = one_rect(j, best)
 
         dist_ref[:] = jnp.where(best < (_MISS * 0.5), best, sky)
 
@@ -88,7 +106,7 @@ def _make_kernel(group_counts, S: int, sky: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_counts", "sublanes", "sky")
+    jax.jit, static_argnames=("group_counts", "sublanes", "sky", "unroll")
 )
 def nearest_distances(
     aa_fields: jnp.ndarray,
@@ -97,8 +115,11 @@ def nearest_distances(
     group_counts,
     sublanes: int = 8,
     sky: float = 10.0,
+    unroll: "int | None" = None,
 ) -> jnp.ndarray:
     """Nearest-hit distance per ray; misses report `sky`."""
+    from ..ops.aa_query import resolve_unroll
+
     R = origins.shape[0]
     S = int(sublanes)
     TB = S * LANES
@@ -109,7 +130,8 @@ def nearest_distances(
         return x[:, c].reshape(n_blocks * S, LANES)
 
     N = aa_fields.shape[1]
-    kernel = _make_kernel(tuple(group_counts), S, float(sky))
+    kernel = _make_kernel(tuple(group_counts), S, float(sky),
+                          resolve_unroll(unroll))
     ray_spec = pl.BlockSpec((S, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     dist = pl.pallas_call(
@@ -132,11 +154,12 @@ def nearest_distances(
 @functools.partial(
     jax.jit,
     static_argnames=("group_counts", "K", "chunk", "n_chunks", "sky",
-                     "normalization", "sublanes"),
+                     "normalization", "sublanes", "unroll"),
 )
 def _ao_all(
     aa_fields, centers_pad, wall_pad, dir_tables, fac, group_counts,
     K: int, chunk: int, n_chunks: int, sky, normalization, sublanes: int,
+    unroll: "int | None" = None,
 ):
     """The WHOLE AO pass as one device program: fori over texel chunks,
     on-device ray expansion + nearest-hit kernel + weighted reduction per
@@ -150,7 +173,7 @@ def _ao_all(
         origins = (c[:, None, :] + d * 1e-5).reshape(chunk * K, 3)
         dist = nearest_distances(
             aa_fields, origins, d.reshape(chunk * K, 3), group_counts,
-            sublanes=sublanes, sky=sky,
+            sublanes=sublanes, sky=sky, unroll=unroll,
         ).reshape(chunk, K)
         out = jnp.sum(dist * fac[None, :], axis=-1) / (
             jnp.sum(fac) * normalization
@@ -164,7 +187,8 @@ def _ao_all(
 
 
 def render_ao(
-    scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21,
+    unroll: "int | None" = None,
 ) -> np.ndarray:
     """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
     vs = geosphere(cfg.geosphere_level)
@@ -213,7 +237,7 @@ def render_ao(
             aa.fields, jnp.asarray(centers[idxs]),
             jnp.asarray(wall_of_texel[idxs]), dir_tables, fac,
             aa.group_counts, K_pad, chunk, n_chunks,
-            float(cfg.sky_distance), float(cfg.normalization), S,
+            float(cfg.sky_distance), float(cfg.normalization), S, unroll,
         )
     )[:T0]
 

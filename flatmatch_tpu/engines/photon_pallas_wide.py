@@ -53,14 +53,8 @@ _MISS = 1e30
 LANES = 128
 
 
-def resolve_unroll(unroll):
-    """Platform-resolved rect-loop unroll: 8 on hardware (+2% photons/s
-    measured; 16 blew the compile budget), 4 elsewhere (interpret-mode
-    compile time roughly doubles at 8). Bit-identical either way — the
-    unrolled loop tests rects in the same order."""
-    if unroll is None:
-        return 8 if jax.default_backend() == "tpu" else 4
-    return int(unroll)
+# platform-resolved rect-loop unroll, shared with the AA query kernels
+from ..ops.aa_query import resolve_unroll  # noqa: E402
 
 
 def check_i8_accumulator(cfg: PhotonConfig, batch_size: int):

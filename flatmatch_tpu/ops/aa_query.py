@@ -24,7 +24,19 @@ LANES = 128
 MISS = 1e30
 
 
-def _make_kernel(group_counts, S: int):
+def resolve_unroll(unroll):
+    """Platform-resolved rect-loop unroll: 8 on hardware (+2% photons/s
+    measured on the wide photon kernel; 16 blew the compile budget), 4
+    elsewhere (interpret-mode compile time roughly doubles at 8).
+    Bit-identical either way — the unrolled loop tests rects in the same
+    order. Shared by every AA rect-loop kernel (this query, the AO
+    distance query, the wide photon megakernel)."""
+    if unroll is None:
+        return 8 if jax.default_backend() == "tpu" else 4
+    return int(unroll)
+
+
+def _make_kernel(group_counts, S: int, unroll: int):
     g0, g1, _ = group_counts
     starts = (0, g0, g0 + g1)
 
@@ -46,10 +58,9 @@ def _make_kernel(group_counts, S: int):
             pv, dv_ = p[av], dr[av]
             da_neg = dr[a] < 0
 
-            def body(rr_, carry, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
-                     dv_=dv_, da_neg=da_neg, start=starts[a]):
+            def one_rect(j, carry, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
+                         dv_=dv_, da_neg=da_neg):
                 best, btex = carry
-                j = start + rr_
                 o = scene_ref[A_O, j]
                 sn = scene_ref[A_SN, j]
                 fac = (o - pa) * ia
@@ -86,7 +97,22 @@ def _make_kernel(group_counts, S: int):
                     jnp.where(upd, texel, btex),
                 )
 
-            best, btex = jax.lax.fori_loop(0, count, body, (best, btex))
+            # unrolled main loop + static tail (in-order: first-min tie
+            # break identical to a rect-at-a-time loop) — same structure
+            # as the wide photon kernel's production rect loop
+            start = starts[a]
+            n_main = count // unroll
+
+            def loop_body(rr_, carry, start=start, one_rect=one_rect):
+                j0 = start + rr_ * unroll
+                for uu in range(unroll):
+                    carry = one_rect(j0 + uu, carry)
+                return carry
+
+            best, btex = jax.lax.fori_loop(0, n_main, loop_body,
+                                           (best, btex))
+            for j in range(start + n_main * unroll, start + count):
+                best, btex = one_rect(j, (best, btex))
 
         hit = best < (MISS * 0.5)
         dist_ref[:] = best
@@ -95,13 +121,16 @@ def _make_kernel(group_counts, S: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group_counts", "sublanes"))
+@functools.partial(
+    jax.jit, static_argnames=("group_counts", "sublanes", "unroll")
+)
 def aa_nearest(
     aa_fields: jnp.ndarray,
     origins: jnp.ndarray,   # [R, 3]; R % (sublanes*128) == 0
     dirs: jnp.ndarray,      # [R, 3]
     group_counts,
     sublanes: int = 8,
+    unroll: "int | None" = None,
 ):
     """Returns (dist [R] f32 with MISS sentinel, texel [R] int32, -1 on
     miss)."""
@@ -115,7 +144,7 @@ def aa_nearest(
         return x[:, c].reshape(n_blocks * S, LANES)
 
     N = aa_fields.shape[1]
-    kernel = _make_kernel(tuple(group_counts), S)
+    kernel = _make_kernel(tuple(group_counts), S, resolve_unroll(unroll))
     ray_spec = pl.BlockSpec((S, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     dist, tex = pl.pallas_call(

@@ -148,3 +148,24 @@ def test_ao_pallas_matches_xla_engine():
     assert (rel < 2e-2).all(), rel.max()
     assert (rel < 5e-4).mean() > 0.98
     assert (pal_tex[~level0] == 0).all()
+
+
+@pytest.mark.slow
+def test_ao_pallas_unroll_invariant():
+    """The unrolled rect loop (round 4) is BIT-identical across unroll
+    factors, including a static-tail remainder (unroll=3 against tiny's
+    group counts): in-order tests, order-insensitive running minimum."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import ao_pallas
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, _ = _scene("tiny")
+    aa = pack_aa(scene.walls)
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(ao_pallas.render_ao(scene, aa, AO_CFG, unroll=1))
+        for u in (3, 4):
+            other = np.asarray(
+                ao_pallas.render_ao(scene, aa, AO_CFG, unroll=u)
+            )
+            assert (other == base).all(), f"unroll={u} diverged"

@@ -145,3 +145,31 @@ def test_form_factors_device_batch_matches_np(mini):
     np.testing.assert_array_equal(
         ids_dev[: mini.num_texels][level0], ids_np[level0]
     )
+
+
+def test_aa_query_unroll_invariant(mini):
+    """aa_nearest's unrolled rect loop (round 4) is BIT-identical across
+    unroll factors including a static-tail remainder — the first-min tie
+    break is order-dependent, so this checks the unroll preserves rect
+    order exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.ops.aa_query import aa_nearest
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    rects, _, _, _ = radiosity.extended_rects(mini)
+    aa = pack_aa(rects)
+    assert aa is not None
+    rng = np.random.default_rng(7)
+    n = 8 * 128
+    origins = rng.uniform(0.2, 5.0, (n, 3)).astype(f32)
+    dirs = rng.normal(size=(n, 3)).astype(f32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    with pltpu.force_tpu_interpret_mode():
+        d1, t1 = aa_nearest(aa.fields, origins, dirs, aa.group_counts,
+                            unroll=1)
+        for u in (3, 4):
+            du, tu = aa_nearest(aa.fields, origins, dirs, aa.group_counts,
+                                unroll=u)
+            assert (np.asarray(du) == np.asarray(d1)).all()
+            assert (np.asarray(tu) == np.asarray(t1)).all()
