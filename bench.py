@@ -85,11 +85,11 @@ def bench_ao(scene, aa):
             scene, pack_rects(scene.walls), cfg
         )
     float(np.asarray(run()).sum())  # warm/compile
-    # best of 5: the full pass is ~0.15s, so a single ~0.5s dispatch
+    # best of 7: the full pass is ~0.13s, so a single ~0.5s dispatch
     # latency spike through the tunnel would dominate one measurement
-    # (observed 223M vs 277M texel-rays/s across bench runs at best-of-3)
+    # (observed 224M vs 318M texel-rays/s across bench runs at best-of-5)
     dt = float("inf")
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         out = run()
         energy = float(np.asarray(out).sum())
@@ -130,7 +130,10 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
 
     from flatmatch_tpu.diff.render import make_diff_renderer_wide
 
-    frac = max(1, n_photons // (1 << 23))
+    # ~16.8M photons per measurement (~0.5 s fwd / ~1.1 s grad): a single
+    # ~0.1 s dispatch spike through the tunnel stays under 10% of the
+    # grad measurement (at the previous 2^23 budget it was ~20%)
+    frac = max(1, n_photons // (1 << 24))
     # the production diff tier (round 4): device RNG + the in-kernel i8
     # splat forward on the dynamic quantization grid + in-kernel cotangent
     # fold backward, with shrunk-grid tail batches
@@ -156,7 +159,7 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
     v, (ga, gp) = vg(albedo0, power0)                 # compile fwd+bwd
     float(np.asarray(ga).sum())
     fwd_dt = both_dt = float("inf")
-    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+    for _ in range(3):  # best of 3 (dispatch-latency spikes, see bench_ao)
         t0 = time.perf_counter()
         out = render(albedo0, power0)
         float(np.asarray(out).sum())

@@ -21,6 +21,7 @@ true parameters are an exact global optimum — gated in test_diff.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -140,23 +141,32 @@ def fit_materials(
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # the whole fit as ONE device program: a lax.scan over steps instead
+    # of a Python loop with a per-step host readback — each step saves a
+    # dispatch + loss readback round trip (~0.1 s apiece through a remote
+    # chip tunnel), and the losses come back as a single [steps] array
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run(params, opt_state, n_steps):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
 
-    losses = []
-    for _ in range(int(steps)):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(float(loss))
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, losses
+
+    params, losses = run(params, opt_state, int(steps))
+    losses = np.asarray(losses, np.float64)
 
     albedo, power = constrain(params)
     lightmap = render(albedo, power)
     return FitResult(
         albedo=np.asarray(albedo),
         power=np.asarray(power),
-        losses=np.asarray(losses, np.float64),
+        losses=losses,
         lightmap=np.asarray(lightmap),
     )
 

@@ -124,6 +124,8 @@ _VIEWER_HTML = """<!DOCTYPE html>
 <script>
 "use strict";
 async function show(id) {
+  id = Number(id);  // ids are server-listed integers; coerce before any
+  if (!Number.isInteger(id)) return;  // markup use (same hardening as /walk)
   const view = document.getElementById("view");
   view.innerHTML = "<h3>offer " + id + "</h3>";
   const offer = await (await fetch("rest/get/offer/" + id)).json();
