@@ -69,3 +69,42 @@ def test_radiosity_matches_reference_engine(name, fixture):
     # spatial distribution
     corr = np.corrcoef(ours.ravel(), gold.ravel())[0, 1]
     assert corr > 0.99, f"texel correlation {corr}"
+
+
+@pytest.mark.slow
+def test_tolerance_bands_cover_mc_variance():
+    """Variance audit for the per-wall bands above (round-3 VERDICT weak
+    #3): the 8%/20% rtol values were chosen empirically; this measures the
+    actual seed-to-seed Monte-Carlo spread of per-wall mean radiance at
+    rays=2000 in OUR engine and asserts each checked wall's band is at
+    least 3 combined sigmas (ours + an equal independent reference budget,
+    so sigma_combined = sigma * sqrt(2)). If a future change inflates the
+    estimator variance past what the bands cover, this fails before the
+    cross-implementation gate starts flaking."""
+    from tests.conftest import FIXTURES
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+
+    runs = []
+    for seed in (5, 11, 23, 47):
+        cfg = RadiosityConfig(rays_per_texel=2000, iterations=7, seed=seed)
+        runs.append(radiosity.render_radiosity(scene, cfg))
+
+    checked = 0
+    for i, r in enumerate(scene.walls):
+        sl = slice(r.base, r.base + num_tiles(r))
+        means = np.array([run[sl].mean() for run in runs])
+        g = means.mean()
+        if g <= 1e-3:
+            continue
+        sigma = means.std(ddof=1)
+        band = (0.08 if num_tiles(r) >= 64 else 0.2) * g
+        combined = sigma * np.sqrt(2.0)
+        assert band >= 3.0 * combined, (
+            f"wall {i}: band {band:.4g} < 3x combined MC sigma "
+            f"{combined:.4g} (per-seed sigma {sigma:.4g}, mean {g:.4g})"
+        )
+        checked += 1
+    assert checked >= 5, f"only {checked} walls carried energy"
