@@ -248,3 +248,210 @@ def render_ao(
         texels[wall.base : wall.base + n] = vals[t : t + n, None]
         t += n
     return texels
+
+
+# ---------------------------------------------------------------------------
+# Fused-expansion AO (round 4): rays are never materialized.
+#
+# The one-program pass above still pays ~45% of its wall clock in XLA glue
+# (measured on chip): gathering [chunk, K, 3] per-texel direction tables,
+# expanding [chunk*K, 3] origin/direction streams to HBM, transposing them
+# into component tiles, and reducing [chunk, K] back down. But every texel
+# of a wall shares the SAME K directions — so lay rays out as
+# (sublane=texel-of-wall, lane=direction) and both streams collapse into
+# broadcasts of two tiny VMEM blocks:
+#
+#   origin[t, k]    = center[t] + 1e-5 * dir[k]     ([S_T,1] + [1,128] FMA)
+#   direction[t, k] = dir[k]                        ([1,128] row)
+#
+# Per-wall texel blocks (counts are multiples of 16, so padding to S_T=64
+# costs <1% on example.png) pick their wall's direction rows via a
+# scalar-prefetched wall-id table; the cosine-weighted reduction over k
+# accumulates in-kernel across the k-grid (output block revisited), so the
+# only HBM traffic is the [B*S_T, 128] partial-sum arena read once by a
+# trivial XLA epilogue. Same per-(ray, rect) arithmetic as
+# nearest_distances; only the sum-over-k order changes (sequential
+# 128-lane blocks instead of one XLA reduce), which moves results by ulps,
+# not semantics.
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_kernel(group_counts, S_T: int, sky: float, unroll: int,
+                       n_kblocks: int):
+    g0, g1, _ = group_counts
+    starts = (0, g0, g0 + g1)
+
+    def kernel(wall_ids_ref, scene_ref, centers_ref, dirs_ref, fac_ref,
+               out_ref):
+        del wall_ids_ref  # consumed by the index maps
+        cx = centers_ref[:, 0:1]
+        cy = centers_ref[:, 1:2]
+        cz = centers_ref[:, 2:3]
+        dx = dirs_ref[0, 0:1, :]
+        dy = dirs_ref[0, 1:2, :]
+        dz = dirs_ref[0, 2:3, :]
+        # same FMA as the XLA expansion (centers + d * 1e-5), broadcast
+        # [S_T,1] x [1,128] -> [S_T,128]. The direction/inverse operands
+        # are materialized as FULL tiles once here: leaving them [1,128]
+        # makes Mosaic re-broadcast them inside every rect test (measured
+        # 2x slower on chip).
+        p = (cx + dx * 1e-5, cy + dy * 1e-5, cz + dz * 1e-5)
+        dr = tuple(
+            jnp.broadcast_to(d, (S_T, LANES)) for d in (dx, dy, dz)
+        )
+        inv = tuple(1.0 / d for d in dr)
+        best = jnp.full((S_T, LANES), _MISS, jnp.float32)
+
+        for a in range(3):
+            count = group_counts[a]
+            if count == 0:
+                continue
+            au, av = GROUP_UV[a]
+            pa, ia = p[a], inv[a]
+            pu, du_ = p[au], dr[au]
+            pv, dv_ = p[av], dr[av]
+            da_neg = dr[a] < 0
+
+            def one_rect(j, best, pa=pa, ia=ia, pu=pu, du_=du_, pv=pv,
+                         dv_=dv_, da_neg=da_neg):
+                o = scene_ref[A_O, j]
+                sn = scene_ref[A_SN, j]
+                fac = (o - pa) * ia
+                front = jnp.logical_xor(da_neg, sn < 0)
+                u = (pu + du_ * fac - scene_ref[A_CU, j]) * scene_ref[A_WS, j]
+                v = (pv + dv_ * fac - scene_ref[A_CV, j]) * scene_ref[A_HS, j]
+                valid = front & (
+                    jnp.minimum(
+                        jnp.minimum(fac, u),
+                        jnp.minimum(
+                            scene_ref[A_WLEN, j] - u,
+                            jnp.minimum(v, scene_ref[A_HLEN, j] - v),
+                        ),
+                    )
+                    >= 0
+                )
+                dist = jnp.where(valid, fac, _MISS)
+                return jnp.minimum(best, dist)
+
+            start = starts[a]
+            n_main = count // unroll
+
+            def loop_body(rr_, best, start=start, one_rect=one_rect):
+                j0 = start + rr_ * unroll
+                for uu in range(unroll):
+                    best = one_rect(j0 + uu, best)
+                return best
+
+            best = jax.lax.fori_loop(0, n_main, loop_body, best)
+            for j in range(start + n_main * unroll, start + count):
+                best = one_rect(j, best)
+
+        dist = jnp.where(best < (_MISS * 0.5), best, sky)
+        # per-k partials written to distinct blocks (a revisited
+        # accumulator block would serialize the k steps' epilogues); the
+        # XLA caller reduces the [B*S_T, n_kblocks*128] arena in one pass
+        out_ref[:] = dist * fac_ref[0:1, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_counts", "S_T", "n_kblocks", "sky", "unroll"),
+)
+def _ao_fused(
+    aa_fields, wall_ids, centers8, dirs3, facrow, group_counts,
+    S_T: int, n_kblocks: int, sky, unroll: "int | None" = None,
+):
+    from ..ops.aa_query import resolve_unroll
+
+    B = wall_ids.shape[0]
+    N = aa_fields.shape[1]
+    kernel = _make_fused_kernel(
+        tuple(group_counts), S_T, float(sky), resolve_unroll(unroll),
+        n_kblocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_kblocks),
+        in_specs=[
+            pl.BlockSpec((F_AA, N), lambda i, k, w: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S_T, 8), lambda i, k, w: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda i, k, w: (w[i], 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, k, w: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S_T, LANES), lambda i, k, w: (i, k),
+                               memory_space=pltpu.VMEM),
+    )
+    arena = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B * S_T, n_kblocks * LANES), jnp.float32
+        ),
+    )(wall_ids, aa_fields, centers8, dirs3, facrow)
+    return jnp.sum(arena, axis=1)
+
+
+def render_ao_fused(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, sublanes: int = 64,
+    unroll: "int | None" = None,
+) -> np.ndarray:
+    """Full AO pass with in-kernel ray synthesis (photonmap.c:436-491
+    semantics; see the module comment above for the layout)."""
+    vs = geosphere(cfg.geosphere_level)
+    K = len(vs)
+    K_pad = (K + LANES - 1) // LANES * LANES
+    n_kblocks = K_pad // LANES
+    S_T = int(sublanes)
+
+    facrow = np.zeros((1, K_pad), f32)
+    facrow[0, :K] = vs[:, 2].astype(f32)  # zero weight on k padding
+
+    # per-wall direction rows [n_walls, 8, K_pad] (sublane-block multiple
+    # of 8; rows 0-2 = dx/dy/dz, rows 3-7 unused); k padding duplicates
+    # direction 0 (weight 0 -> exact +0.0 contribution)
+    n_walls = len(scene.walls)
+    dirs3 = np.zeros((n_walls, 8, K_pad), f32)
+    for i, w in enumerate(scene.walls):
+        d = wall_directions(w.n, cfg.geosphere_level).astype(f32)  # [K,3]
+        dirs3[i, :3, :K] = d.T
+        dirs3[i, :3, K:] = d.T[:, 0:1]
+
+    # per-wall texel blocks of S_T sublanes; padding texels replay the
+    # wall's first texel (valid rays, discarded by the gather-back)
+    blocks_centers = []
+    wall_ids = []
+    gather_idx = np.empty(scene.num_texels, np.int64)
+    pos = 0
+    for i, w in enumerate(scene.walls):
+        c = tile_centers(w).astype(f32)          # [T_w, 3]
+        t_w = c.shape[0]
+        t_pad = (t_w + S_T - 1) // S_T * S_T
+        c8 = np.zeros((t_pad, 8), f32)
+        c8[:t_w, :3] = c
+        c8[t_w:, :3] = c[0]
+        blocks_centers.append(c8)
+        wall_ids.extend([i] * (t_pad // S_T))
+        gather_idx[w.base : w.base + t_w] = pos + np.arange(t_w)
+        pos += t_pad
+    centers8 = np.concatenate(blocks_centers)
+    wall_ids = np.asarray(wall_ids, np.int32)
+
+    sums = np.asarray(_ao_fused(
+        aa.fields, jnp.asarray(wall_ids), jnp.asarray(centers8),
+        jnp.asarray(dirs3), jnp.asarray(facrow), aa.group_counts,
+        S_T, n_kblocks, float(cfg.sky_distance), unroll,
+    ))
+    norm = float(facrow.sum()) * float(cfg.normalization)
+
+    texels = np.zeros((scene.num_texels, 3), f32)
+    for w in scene.walls:
+        n = num_tiles(w)
+        vals = sums[gather_idx[w.base : w.base + n]] / norm
+        texels[w.base : w.base + n] = vals[:, None]
+    return texels

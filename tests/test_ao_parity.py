@@ -169,3 +169,26 @@ def test_ao_pallas_unroll_invariant():
                 ao_pallas.render_ao(scene, aa, AO_CFG, unroll=u)
             )
             assert (other == base).all(), f"unroll={u} diverged"
+
+
+@pytest.mark.slow
+def test_ao_fused_matches_chunked():
+    """render_ao_fused (in-kernel ray synthesis, round 4) vs the chunked
+    expansion path: same per-(ray, rect) arithmetic, sum-over-k order
+    differs -> agreement to float ulps, zero pattern identical."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import ao_pallas
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+
+    scene, _ = _scene("tiny")
+    aa = pack_aa(scene.walls)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(ao_pallas.render_ao(scene, aa, AO_CFG))
+        b = np.asarray(
+            ao_pallas.render_ao_fused(scene, aa, AO_CFG, sublanes=32)
+        )
+    assert ((a == 0) == (b == 0)).all()
+    nz = a != 0
+    rel = np.abs(b[nz] - a[nz]) / np.abs(a[nz])
+    assert rel.max() < 1e-5, rel.max()
