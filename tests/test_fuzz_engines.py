@@ -204,3 +204,56 @@ def test_group_axis_zero():
     close = np.isclose(lm_wide, lm_xla, rtol=1e-3, atol=1e-2)
     assert close.mean() > 0.999, f"only {close.mean():.4%} match"
     np.testing.assert_allclose(lm_wide.sum(), lm_xla.sum(), rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 4, 7])
+def test_fuzzed_aa_query_matches_xla_intersector(seed, tmp_path):
+    """Query-kernel parity on fuzzed layouts (round 4: the AA query and
+    AO distance kernels gained the min-tree + unrolled rect loop; fuzzed
+    scenes hit unroll tails and group shapes the hand fixtures don't).
+    Rather than running a whole AO pass under the interpreter (minutes
+    per fuzz scene), this casts a bounded random ray set from texel
+    centers and checks both kernels' nearest-hit distances against the
+    XLA brute-force intersector (ops/intersect.nearest_hit) — the same
+    oracle relationship the engine-level tiny/mini parity tests pin
+    down. Full-engine AO parity: test_ao_parity.py."""
+    from flatmatch_tpu.engines.ao import tile_centers
+    from flatmatch_tpu.engines.ao_pallas import nearest_distances
+    from flatmatch_tpu.ops.aa_query import MISS, aa_nearest
+    from flatmatch_tpu.ops.intersect import nearest_hit
+
+    png = tmp_path / f"fuzz_q_{seed}.png"
+    _random_layout(seed, png)
+    img = im.load_layout(str(png))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    aa = pack_aa(scene.walls)
+    assert aa is not None
+    rects = pack_rects(scene.walls)
+
+    rng = np.random.default_rng(300 + seed)
+    centers = np.concatenate([tile_centers(w) for w in scene.walls])
+    n = 2048
+    origins = centers[rng.integers(0, len(centers), n)].astype(f32)
+    dirs = rng.normal(size=(n, 3)).astype(f32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    origins = origins + 1e-5 * dirs  # off-surface, like both engines
+
+    d_xla = np.asarray(nearest_hit(jnp.asarray(origins),
+                                   jnp.asarray(dirs), rects)[0])
+    with pltpu.force_tpu_interpret_mode():
+        d_aa, _ = aa_nearest(aa.fields, origins, dirs, aa.group_counts,
+                             sublanes=8)
+        d_ao = nearest_distances(aa.fields, origins, dirs,
+                                 aa.group_counts, sublanes=8, sky=10.0)
+    d_aa, d_ao = np.asarray(d_aa), np.asarray(d_ao)
+
+    hit = np.isfinite(d_xla) & (d_aa < MISS * 0.5)
+    # both hit or both miss except knife-edge grazing ties
+    agree = (np.isfinite(d_xla) == (d_aa < MISS * 0.5))
+    assert agree.mean() > 0.995, f"{(~agree).mean():.4%} hit/miss flips"
+    rel = np.abs(d_aa[hit] - d_xla[hit]) / np.maximum(d_xla[hit], 1e-6)
+    assert (rel < 1e-4).mean() > 0.995, rel.max()
+    # the AO distance kernel is the same loop with misses -> sky
+    expect = np.where(d_aa < MISS * 0.5, d_aa, f32(10.0))
+    np.testing.assert_array_equal(d_ao, expect)
