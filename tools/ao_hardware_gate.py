@@ -5,9 +5,10 @@ regressions that interpret-mode tests cannot see (the bf16-MXU texel-id
 corruption class, photon_pallas.py header note).
 
 Run on a TPU host:  python tools/ao_hardware_gate.py
-Last green (v5e, 2026-08-17, fused single-program AO pass): tiny max_rel
-2.4e-6; mini mean_rel 1.2e-4, 1.98% of texels >= 5e-4 (knife-edge ties,
-see tests/test_ao_parity.py audit note)."""
+Last green (v5e, 2026-08-20, min-tree + unroll-8 distance kernel): tiny
+max_rel 2.4e-6; mini mean_rel 1.2e-4, 1.98% of texels >= 5e-4
+(knife-edge ties, see tests/test_ao_parity.py audit note); example
+mean_rel 6.0e-6, 0.04% >= 5e-4."""
 import sys
 
 sys.path.insert(0, "/root/repo")
