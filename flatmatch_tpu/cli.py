@@ -81,6 +81,12 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         default=DEFAULT_CONFIG.ao.texels_per_chunk,
         help="AO texels per device dispatch",
     )
+    p.add_argument(
+        "--ao-fused",
+        action="store_true",
+        help="AO with in-kernel ray synthesis (constant HBM footprint in "
+        "scene size; throughput at parity with the default chunked pass)",
+    )
     p.add_argument("--out", default=".", help="output directory")
     p.add_argument(
         "--checkpoint",
@@ -137,7 +143,8 @@ def _build_cfg(args):
             iterations=args.radiosity_iterations,
             seed=args.seed,
         ),
-        ao=dataclasses.replace(cfg.ao, texels_per_chunk=args.ao_chunk),
+        ao=dataclasses.replace(cfg.ao, texels_per_chunk=args.ao_chunk,
+                               fused=args.ao_fused),
     )
 
 

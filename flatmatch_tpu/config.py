@@ -107,6 +107,10 @@ class AoConfig:
     sky_distance: float = 10.0            # photonmap.c:465
     normalization: float = 1.5            # photonmap.c:473
     texels_per_chunk: int = 512           # TPU batching knob
+    # in-kernel ray synthesis (ao_pallas.render_ao_fused): constant HBM
+    # footprint in scene size; measured at parity with the chunked pass
+    # on example.png (see README)
+    fused: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

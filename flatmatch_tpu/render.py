@@ -224,6 +224,8 @@ def run_engine(
                 return pmesh.render_ao_sharded(scene, aa, cfg.ao, mesh)
             from .engines import ao_pallas
 
+            if cfg.ao.fused:
+                return ao_pallas.render_ao_fused(scene, aa, cfg.ao)
             return ao_pallas.render_ao(scene, aa, cfg.ao)
         from .engines import ao
 
