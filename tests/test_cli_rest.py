@@ -52,6 +52,7 @@ def test_cli_flag_plumbing():
         radiosity_rays = 55
         radiosity_iterations = 3
         ao_chunk = 64
+        ao_fused = True
 
     cfg = args(A)
     assert cfg.engine is Engine.RADIOSITY
@@ -62,6 +63,7 @@ def test_cli_flag_plumbing():
     assert cfg.radiosity.iterations == 3
     assert cfg.radiosity.seed == 7
     assert cfg.ao.texels_per_chunk == 64
+    assert cfg.ao.fused is True
     assert cfg.photon.device_rng is True
 
 
