@@ -66,28 +66,65 @@ SPLAT = os.environ.get("FLATMATCH_BENCH_SPLAT", "inkernel_i8")
 # on by default on TPU, skippable for quick photon-only runs
 BENCH_ALL = os.environ.get("FLATMATCH_BENCH_ALL", "1") == "1"
 RADIOSITY_RAYS = int(os.environ.get("FLATMATCH_BENCH_RADIOSITY_RAYS", 1000))
+# in-program repetition counts (round-4 VERDICT #1): the sub-second passes
+# are timed as K back-to-back passes inside ONE device program (a
+# dependency-carrying lax.fori_loop over the full pass), so a
+# dispatch-latency spike through the tunnel is amortized to 1/K of one
+# measurement instead of dominating it. K is sized so each program runs
+# >= 2 s of steady-state device time.
+AO_REPS = int(os.environ.get("FLATMATCH_BENCH_AO_REPS", 16))
+RAD_REPS = int(os.environ.get("FLATMATCH_BENCH_RAD_REPS", 4))
+DIFF_FWD_REPS = int(os.environ.get("FLATMATCH_BENCH_DIFF_FWD_REPS", 4))
+DIFF_GRAD_REPS = int(os.environ.get("FLATMATCH_BENCH_DIFF_GRAD_REPS", 3))
+OUTER = int(os.environ.get("FLATMATCH_BENCH_OUTER", 3))
+
+
+def _timed_outer(fn, outer=None):
+    """Time `outer` calls of fn() (fn returns a device scalar; the float()
+    readback is the synchronization point). Returns (seconds list, last
+    value)."""
+    ts, val = [], None
+    for _ in range(outer or OUTER):
+        t0 = time.perf_counter()
+        val = float(np.asarray(fn()))
+        ts.append(time.perf_counter() - t0)
+    return ts, val
+
+
+def _spread(ts, reps):
+    """min/median/spread stats for an outer-timing list, per single pass."""
+    s = sorted(ts)
+    med = s[len(s) // 2]
+    return {
+        "reps_in_program": reps,
+        "min_s": round(min(s) / reps, 4),
+        "median_s": round(med / reps, 4),
+        "spread_pct": round(100.0 * (max(s) - min(s)) / min(s), 1),
+    }
 
 
 def bench_ao(scene, aa):
-    """AO texel-rays/s (photonmap.c:436-491: 481 geoSphere4 dirs/texel)."""
+    """AO texel-rays/s (photonmap.c:436-491: 481 geoSphere4 dirs/texel).
+    Returns (rate, stats|None)."""
     from flatmatch_tpu.config import AoConfig
     from flatmatch_tpu.scene.rectangle import num_tiles
 
     cfg = AoConfig()
+    rays = sum(num_tiles(r) for r in scene.walls) * 481
     if aa is not None and jax.default_backend() == "tpu":
         from flatmatch_tpu.engines import ao_pallas
 
-        run = lambda: ao_pallas.render_ao(scene, aa, cfg)  # noqa: E731
-    else:
-        from flatmatch_tpu.engines import ao
+        run = ao_pallas.make_ao_energy_timed(scene, aa, cfg)
+        float(np.asarray(run(reps=AO_REPS)))  # warm/compile
+        ts, energy = _timed_outer(lambda: run(reps=AO_REPS))
+        assert np.isfinite(energy) and energy > 0
+        return rays * AO_REPS / min(ts), _spread(ts, AO_REPS)
+    from flatmatch_tpu.engines import ao
 
-        run = lambda: ao.render_ao(  # noqa: E731
-            scene, pack_rects(scene.walls), cfg
-        )
+    run = lambda: ao.render_ao(  # noqa: E731
+        scene, pack_rects(scene.walls), cfg
+    )
     float(np.asarray(run()).sum())  # warm/compile
-    # best of 7: the full pass is ~0.13s, so a single ~0.5s dispatch
-    # latency spike through the tunnel would dominate one measurement
-    # (observed 224M vs 318M texel-rays/s across bench runs at best-of-5)
     dt = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
@@ -95,19 +132,30 @@ def bench_ao(scene, aa):
         energy = float(np.asarray(out).sum())
         dt = min(dt, time.perf_counter() - t0)
         assert np.isfinite(energy) and energy > 0
-    rays = sum(num_tiles(r) for r in scene.walls) * 481
-    return rays / dt
+    return rays / dt, None
 
 
 def bench_radiosity(scene):
     """Radiosity form-factor+gather rays/s at a reduced ray budget (the
     physics is budget-linear; production is rays_per_texel=10000,
-    radiosityNative.c:147)."""
+    radiosityNative.c:147). Returns (rate, per-pass seconds, stats|None)."""
     from flatmatch_tpu.config import RadiosityConfig
     from flatmatch_tpu.engines import radiosity
     from flatmatch_tpu.scene.rectangle import num_tiles
 
     cfg = RadiosityConfig(rays_per_texel=RADIOSITY_RAYS, seed=0)
+    rays = sum(num_tiles(r) for r in scene.walls) * RADIOSITY_RAYS
+    if jax.default_backend() == "tpu":
+        try:
+            run = radiosity.make_radiosity_energy_timed(scene, cfg)
+        except RuntimeError:
+            run = None
+        if run is not None:
+            float(np.asarray(run(reps=RAD_REPS)))  # warm/compile
+            ts, energy = _timed_outer(lambda: run(reps=RAD_REPS))
+            assert np.isfinite(energy) and energy > 0
+            dt = min(ts) / RAD_REPS
+            return rays / dt, dt, _spread(ts, RAD_REPS)
     radiosity.render_radiosity(scene, cfg)  # warm: compile-cache load etc.
     dt = float("inf")
     for _ in range(3):  # best of 3 (dispatch-latency spikes, see bench_ao)
@@ -116,8 +164,7 @@ def bench_radiosity(scene):
         energy = float(np.asarray(out).sum())
         dt = min(dt, time.perf_counter() - t0)
         assert np.isfinite(energy) and energy > 0
-    rays = sum(num_tiles(r) for r in scene.walls) * RADIOSITY_RAYS
-    return rays / dt, dt
+    return rays / dt, dt, None
 
 
 def bench_diff(scene, rects, emitters, aa, spa, n_photons):
@@ -154,22 +201,44 @@ def bench_diff(scene, rects, emitters, aa, spa, n_photons):
     def loss(a, p):
         return render(a, p).sum()
 
-    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-    float(np.asarray(render(albedo0, power0)).sum())  # compile fwd
-    v, (ga, gp) = vg(albedo0, power0)                 # compile fwd+bwd
-    float(np.asarray(ga).sum())
-    fwd_dt = both_dt = float("inf")
-    for _ in range(3):  # best of 3 (dispatch-latency spikes, see bench_ao)
-        t0 = time.perf_counter()
-        out = render(albedo0, power0)
-        float(np.asarray(out).sum())
-        fwd_dt = min(fwd_dt, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        v, (ga, gp) = vg(albedo0, power0)
-        e = float(np.asarray(ga).sum()) + float(np.asarray(gp).sum())
-        both_dt = min(both_dt, time.perf_counter() - t0)
-        assert np.isfinite(e)
-    return n_small / fwd_dt, n_small / both_dt
+    vg = jax.value_and_grad(loss, argnums=(0, 1))
+
+    # in-program repetition (see AO_REPS note): each rep perturbs albedo
+    # by acc*1e-30 — numerically a no-op against albedo 0.9 in f32, but a
+    # carry dependency XLA cannot hoist out of the loop
+    import functools as _ft
+
+    from jax import lax
+
+    @_ft.partial(jax.jit, static_argnames=("reps",))
+    def fwd_rep(reps: int):
+        def rep(r, acc):
+            return acc + render(
+                albedo0 + acc * jnp.float32(1e-30), power0
+            ).sum()
+
+        return lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    @_ft.partial(jax.jit, static_argnames=("reps",))
+    def grad_rep(reps: int):
+        def rep(r, acc):
+            v, (ga, gp) = vg(albedo0 + acc * jnp.float32(1e-30), power0)
+            return acc + v + ga.sum() + gp.sum()
+
+        return lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    float(np.asarray(fwd_rep(reps=DIFF_FWD_REPS)))   # compile fwd
+    e = float(np.asarray(grad_rep(reps=DIFF_GRAD_REPS)))  # compile fwd+bwd
+    assert np.isfinite(e)
+    fwd_ts, _ = _timed_outer(lambda: fwd_rep(reps=DIFF_FWD_REPS))
+    grad_ts, e = _timed_outer(lambda: grad_rep(reps=DIFF_GRAD_REPS))
+    assert np.isfinite(e)
+    fwd_dt = min(fwd_ts) / DIFF_FWD_REPS
+    both_dt = min(grad_ts) / DIFF_GRAD_REPS
+    return (
+        n_small / fwd_dt, n_small / both_dt,
+        _spread(fwd_ts, DIFF_FWD_REPS), _spread(grad_ts, DIFF_GRAD_REPS),
+    )
 
 
 def main():
@@ -210,14 +279,19 @@ def main():
     # so force a readback.
     float(np.asarray(run(emitters)).sum())
 
-    dt = float("inf")
-    for _ in range(2):  # best of 2 (dispatch-latency spikes, see bench_ao)
+    # the photon pass is already ONE ~3-5 s device program for the whole
+    # schedule, so dispatch noise is <3% of a single measurement; best-of-3
+    # with the spread recorded
+    ts = []
+    for _ in range(3):
         t0 = time.perf_counter()
         lm = run(emitters)
         energy = float(np.asarray(lm).sum())
-        dt = min(dt, time.perf_counter() - t0)
+        ts.append(time.perf_counter() - t0)
         assert np.isfinite(energy) and energy > 0
+    dt = min(ts)
     rate = n_photons / dt
+    photon_stats = _spread(ts, 1)
 
     ref_meta = {}
     baseline_file = REPO / "BASELINE_MEASURED.json"
@@ -228,30 +302,36 @@ def main():
     if ref_rate:
         vs = rate / ref_rate
 
-    extras = {}
+    extras = {"photon_bench": photon_stats}
     if BENCH_ALL:
         try:
-            ao_rate = bench_ao(scene, aa)
+            ao_rate, ao_stats = bench_ao(scene, aa)
             extras["ao_texel_rays_per_s"] = round(ao_rate, 1)
+            if ao_stats:
+                extras["ao_bench"] = ao_stats
             ao_ref = ref_meta.get("reference_ao_texel_rays_per_s")
             if ao_ref:
                 extras["ao_vs_baseline"] = round(ao_rate / ao_ref, 1)
         except Exception as e:  # never let a secondary bench kill the line
             extras["ao_error"] = repr(e)[:200]
         try:
-            rad_rate, rad_dt = bench_radiosity(scene)
+            rad_rate, rad_dt, rad_stats = bench_radiosity(scene)
             extras["radiosity_rays_per_s"] = round(rad_rate, 1)
             extras["radiosity_s"] = round(rad_dt, 2)
             extras["radiosity_rays_per_texel"] = RADIOSITY_RAYS
+            if rad_stats:
+                extras["radiosity_bench"] = rad_stats
         except Exception as e:
             extras["radiosity_error"] = repr(e)[:200]
         if use_wide:
             try:
-                fwd, both = bench_diff(
+                fwd, both, fstats, gstats = bench_diff(
                     scene, rects, emitters, aa, spa, n_photons
                 )
                 extras["diff_forward_photons_per_s"] = round(fwd, 1)
                 extras["diff_grad_photons_per_s"] = round(both, 1)
+                extras["diff_fwd_bench"] = fstats
+                extras["diff_grad_bench"] = gstats
             except Exception as e:
                 extras["diff_error"] = repr(e)[:200]
 

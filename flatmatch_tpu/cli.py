@@ -333,6 +333,13 @@ def main(argv=None) -> int:
     if args.cmd == "render":
         from .render import render
 
+        ss = args.supersample
+        if ss < 1 or (ss & (ss - 1)):
+            parser.error(
+                f"--supersample must be a power of two >= 1, got {ss} "
+                "(the scaled tile grids must keep the power-of-two mipmap "
+                "invariant, rectangle.c:176-186)"
+            )
         with profile_ctx:
             render(args.layout, args.out, args.scale, cfg, mesh=mesh,
                    checkpoint_path=args.checkpoint, preview=args.preview,

@@ -376,15 +376,20 @@ def make_diff_renderer_wide(
     base_s = np.float32(splat_color_scale(cfg))
     base_inv = np.float32(1.0 / splat_color_scale(cfg))
 
-    def scale_pair(e, albedo, power):
+    def scale_pair(e, albedo_aa, power):
         """Dynamic i8 quantization grid covering the parameter-scaled
         deposit bound: max emitter channel * max(1,|power[e]|) *
-        max(1, max albedo)^D. corr multiplies the PRODUCTION host
-        constants, so at power<=1, albedo<=1 it is exactly 1.0 and both
-        scale and inv_scale are bit-equal to the production i8 splat's."""
+        max(1, max albedo)^D. The albedo bound is taken over the PERMUTED
+        slot vector albedo_aa — the albedos actually reachable by deposits
+        — not the raw (possibly padded) parameter vector, so unused
+        entries cannot inflate the grid and the single-chip and sharded
+        renderers quantize on the same grid. corr multiplies the
+        PRODUCTION host constants, so at power<=1, albedo<=1 it is
+        exactly 1.0 and both scale and inv_scale are bit-equal to the
+        production i8 splat's."""
         corr = jnp.maximum(
             jnp.float32(1.0), jnp.abs(power[e])
-        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo)) ** D
+        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo_aa)) ** D
         return base_s * corr, base_inv / corr
 
     def tail_batch_size(last_valid):
@@ -403,7 +408,7 @@ def make_diff_renderer_wide(
         lm = jnp.zeros((total_c, 3), jnp.float32)
         for e, base_batch, n_batches, last_valid in schedule:
             ev = em_vec_scaled(e, power)
-            sc = scale_pair(e, albedo, power) if i8 else (None, None)
+            sc = scale_pair(e, albedo_aa, power) if i8 else (None, None)
 
             def one(lm, abs_i, nv, bsz, ev=ev, sc=sc):
                 if fused:
@@ -571,11 +576,12 @@ def make_diff_renderer_sharded_wide(
     base_inv = np.float32(1.0 / splat_color_scale(cfg))
     D_ = cfg.max_depth
 
-    def scale_pair(e, albedo, power):
-        # dynamic i8 grid; see make_diff_renderer_wide.scale_pair
+    def scale_pair(e, albedo_aa, power):
+        # dynamic i8 grid over the permuted slot albedos (the tight
+        # reachable bound); see make_diff_renderer_wide.scale_pair
         corr = jnp.maximum(
             jnp.float32(1.0), jnp.abs(power[e])
-        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo)) ** D_
+        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo_aa)) ** D_
         return base_s * corr, base_inv / corr
 
     def local_batch(i, ax, base_batch):

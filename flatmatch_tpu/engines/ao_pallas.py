@@ -186,11 +186,10 @@ def _ao_all(
     )
 
 
-def render_ao(
-    scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21,
-    unroll: "int | None" = None,
-) -> np.ndarray:
-    """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
+def _ao_prep(scene: Scene, cfg: AoConfig, rays_per_call: int):
+    """Host-side tables + chunk schedule shared by render_ao and the
+    benchmarking repeat variant: (fac, dir_tables, centers_pad, wall_pad,
+    K_pad, chunk, n_chunks, S, T0)."""
     vs = geosphere(cfg.geosphere_level)
     K = len(vs)
     # pad the direction table to a multiple of 8 with ZERO-WEIGHT copies of
@@ -216,7 +215,6 @@ def render_ao(
     dir_tables = jnp.asarray(np.stack([padded_dirs(w.n) for w in scene.walls]))
 
     T0 = len(centers)
-    texels = np.zeros((scene.num_texels, 3), f32)
 
     import math
 
@@ -232,10 +230,23 @@ def render_ao(
     chunk = min(chunk, t0_rounded)
     n_chunks = (T0 + chunk - 1) // chunk
     idxs = np.arange(n_chunks * chunk) % T0  # wrap-pad
+    return (
+        fac, dir_tables, jnp.asarray(centers[idxs]),
+        jnp.asarray(wall_of_texel[idxs]), K_pad, chunk, n_chunks, S, T0,
+    )
+
+
+def render_ao(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, rays_per_call: int = 1 << 21,
+    unroll: "int | None" = None,
+) -> np.ndarray:
+    """Full AO pass on the Pallas AA path (photonmap.c:436-491 semantics)."""
+    (fac, dir_tables, centers_pad, wall_pad, K_pad, chunk, n_chunks, S,
+     T0) = _ao_prep(scene, cfg, rays_per_call)
+    texels = np.zeros((scene.num_texels, 3), f32)
     vals = np.asarray(
         _ao_all(
-            aa.fields, jnp.asarray(centers[idxs]),
-            jnp.asarray(wall_of_texel[idxs]), dir_tables, fac,
+            aa.fields, centers_pad, wall_pad, dir_tables, fac,
             aa.group_counts, K_pad, chunk, n_chunks,
             float(cfg.sky_distance), float(cfg.normalization), S, unroll,
         )
@@ -248,6 +259,44 @@ def render_ao(
         texels[wall.base : wall.base + n] = vals[t : t + n, None]
         t += n
     return texels
+
+
+def make_ao_energy_timed(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig,
+    rays_per_call: int = 1 << 21, unroll: "int | None" = None,
+):
+    """reps -> total AO energy of `reps` back-to-back full passes, as ONE
+    device program (benchmarking aid, bench.py).
+
+    A single flagship pass is ~0.1 s on chip, so one dispatch-latency
+    spike through a tunneled device dominates any wall-clock measurement
+    of one pass (round-4 VERDICT weak #1); K passes in one program
+    amortize dispatch to 1/K. AO is deterministic, so the rep-to-rep
+    dependency is a numerically-neutral perturbation: rep r's texel
+    centers are offset by acc*1e-30 (acc = running energy, so the offset
+    is ~1e-25 m — rounds to +0.0 against any meter-scale f32 coordinate
+    and is 1e20 x below the 1e-5 ray-origin offset), which XLA cannot
+    prove loop-invariant, so every rep re-executes on device."""
+    (fac, dir_tables, centers_pad, wall_pad, K_pad, chunk, n_chunks, S,
+     T0) = _ao_prep(scene, cfg, rays_per_call)
+    sky = float(cfg.sky_distance)
+    norm = float(cfg.normalization)
+    gc = tuple(aa.group_counts)
+    fields = aa.fields
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(reps: int):
+        def rep(r, acc):
+            c = centers_pad + acc * jnp.float32(1e-30)
+            vals = _ao_all(
+                fields, c, wall_pad, dir_tables, fac, gc, K_pad, chunk,
+                n_chunks, sky, norm, S, unroll,
+            )
+            return acc + jnp.sum(vals[:T0])
+
+        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -266,10 +315,11 @@ def render_ao(
 #
 # Per-wall texel blocks (counts are multiples of 16, so padding to S_T=64
 # costs <1% on example.png) pick their wall's direction rows via a
-# scalar-prefetched wall-id table; the cosine-weighted reduction over k
-# accumulates in-kernel across the k-grid (output block revisited), so the
-# only HBM traffic is the [B*S_T, 128] partial-sum arena read once by a
-# trivial XLA epilogue. Same per-(ray, rect) arithmetic as
+# scalar-prefetched wall-id table; each k-grid step writes its own
+# [S_T, 128] output block (distinct blocks, no revisiting), and the
+# cosine-weighted reduction over k happens in a trivial XLA epilogue that
+# reads the [B*S_T, n_k*128] partial-sum arena once. Same per-(ray, rect)
+# arithmetic as
 # nearest_distances; only the sum-over-k order changes (sequential
 # 128-lane blocks instead of one XLA reduce), which moves results by ulps,
 # not semantics.

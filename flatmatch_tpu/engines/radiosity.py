@@ -68,24 +68,11 @@ def _form_factor_chunk(rects: RectsDev, centers, normal, key, rays: int):
     """Hit-texel ids for `rays` cosine rays from each of [C] texel centers.
 
     Returns [C, rays] int32, -1 where the ray escaped (radiosityNative.c:
-    182-223; the reference warns and skips on miss :197-202)."""
+    182-223; the reference warns and skips on miss :197-202). Sampling is
+    _ff_rays (shared with the Pallas intersector path); this adds the XLA
+    nearest-hit + texel lookup."""
     C = centers.shape[0]
-    u = jax.random.uniform(key, (C, rays, 2), dtype=jnp.float32)
-    r = jnp.sqrt(u[..., 0])
-    phi = jnp.float32(TWO_PI_REF) * u[..., 1]
-    du = r * jnp.cos(phi)
-    dv = r * jnp.sin(phi)
-    dn = jnp.sqrt(1.0 - r * r)
-    ndir = jnp.broadcast_to(normal, (C, 3))
-    udir, vdir = build_base(ndir)
-    direc = (
-        udir[:, None, :] * du[..., None]
-        + vdir[:, None, :] * dv[..., None]
-        + ndir[:, None, :] * dn[..., None]
-    ).reshape(C * rays, 3)
-    src = (centers[:, None, :] + 1e-5 * direc.reshape(C, rays, 3)).reshape(
-        C * rays, 3
-    )
+    src, direc = _ff_rays(centers, normal, key, rays)
     dist, hit = nearest_hit(src, direc, rects)
     p = src + direc * jnp.where(jnp.isfinite(dist), dist, 0.0)[:, None]
     ids = texel_index(rects, hit, p)
@@ -199,18 +186,13 @@ def _write_ids(ids, chunk_ids, start):
     return jax.lax.dynamic_update_slice(ids, chunk_ids, (start, 0))
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("rays", "group_counts")
-)
-def _form_factors_aa_all(
+def _ff_aa_impl(
     ids, aa_fields, centers_all, normals, starts, wis, cis, key,
     rays: int, group_counts,
 ):
-    """Whole AA form-factor pass as ONE program: fori over texel chunks,
-    sampling + nearest-hit + table write all on device. One dispatch instead
-    of two per chunk (each dispatch pays interconnect latency here).
-    `key` is a threefry key (callers fold in the device index when
-    sharding the ray axis)."""
+    """Traceable body of _form_factors_aa_all (shared with the in-program
+    repeat benchmark, render_radiosity_timed, which cannot use the jitted
+    wrapper's donate_argnums from inside its own jit)."""
     from ..ops.aa_query import MISS, aa_nearest
     chunk = centers_all.shape[1]
     # 64-sublane ray blocks: same VPU-bound scalar rect loop as the wide
@@ -234,6 +216,24 @@ def _form_factors_aa_all(
         return jax.lax.dynamic_update_slice(ids, chunk_ids, (starts[c], 0))
 
     return jax.lax.fori_loop(0, len(starts), body, ids)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("rays", "group_counts")
+)
+def _form_factors_aa_all(
+    ids, aa_fields, centers_all, normals, starts, wis, cis, key,
+    rays: int, group_counts,
+):
+    """Whole AA form-factor pass as ONE program: fori over texel chunks,
+    sampling + nearest-hit + table write all on device. One dispatch instead
+    of two per chunk (each dispatch pays interconnect latency here).
+    `key` is a threefry key (callers fold in the device index when
+    sharding the ray axis)."""
+    return _ff_aa_impl(
+        ids, aa_fields, centers_all, normals, starts, wis, cis, key,
+        rays, group_counts,
+    )
 
 
 def _ff_schedule(scene: Scene, chunk: int, compact_rows: bool = False):
@@ -478,7 +478,10 @@ def render_radiosity_sharded(
     return np.asarray(src_dev)[:num_texels].copy()
 
 
-def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
+def _radiosity_prep(scene: Scene, cfg: RadiosityConfig):
+    """Shared host prep for render_radiosity and the in-program repeat
+    benchmark: extended rects, mipmap plan, emissive init, AA pack, and
+    the compact gather-table geometry."""
     rects, total, first_window, first_light = extended_rects(scene)
     plan = build_plan(rects)
 
@@ -501,7 +504,6 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
                 "— expect ~10x the wall-clock of the fused AA pass"
             )
 
-    rho = f32(cfg.reflectance)
     rays = int(cfg.rays_per_texel)
     # COMPACT row space: only level-0 wall texels fire rays
     # (radiosityNative.c:170), so the table indexes them contiguously —
@@ -518,18 +520,26 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     rows_pad = max(
         n_chunks * chunk, l0_total + int(cfg.texels_per_chunk)
     )
+    return (rects, total, plan, src, aa, rays, l0_total, l0_idx, chunk,
+            n_chunks, rows_pad)
 
-    if aa is not None:
-        ids_dev = _form_factors_device(
-            scene, aa, cfg, rows_pad, use_aa=True, compact_rows=True
-        )
-    else:
-        ids_dev = _form_factors_device(
-            scene, pack_rects(rects), cfg, rows_pad, use_aa=False,
-            compact_rows=True,
-        )
 
-    num_texels = scene.num_texels
+def _make_relax_impl(cfg, plan, rays, l0_total, l0_idx, chunk, n_chunks,
+                     rows_pad, total):
+    """Traceable (src_dev, ids, iters) -> final arena: all relaxation
+    iterations + one mipmap rebuild.
+
+    ALL relaxation iterations run as one device program: a python-level
+    loop pays ~0.5-1 s of dispatch latency per jit call through the
+    interconnect — at reduced ray budgets that was half the wall clock.
+    The mipmap rebuild is hoisted OUT of the loop (round 4): the gather
+    reads only LEVEL-0 ids (the reference records
+    getMipmapTexelId(..., 0), radiosityNative.c:211-217), so each
+    iteration's rebuild was overwritten unread by the next; one rebuild
+    after the last relax yields the bit-identical final arena at
+    1/iterations of the mipmap cost (measured 93 ms/rebuild on
+    example.png — 0.56 s saved of the 3.2 s rays=1000 pass)."""
+    rho = f32(cfg.reflectance)
 
     def iteration(src_dev, ids):
         def body(i, dest):
@@ -549,24 +559,80 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
         )
         return src_dev * (1.0 - rho) + dest_full * (rho / rays)
 
-    # ALL relaxation iterations as one device program: a python-level loop
-    # pays ~0.5-1 s of dispatch latency per jit call through the
-    # interconnect — at reduced ray budgets that was half the wall clock.
-    # The mipmap rebuild is hoisted OUT of the loop (round 4): the gather
-    # reads only LEVEL-0 ids (the reference records
-    # getMipmapTexelId(..., 0), radiosityNative.c:211-217), so each
-    # iteration's rebuild was overwritten unread by the next; one rebuild
-    # after the last relax yields the bit-identical final arena at
-    # 1/iterations of the mipmap cost (measured 93 ms/rebuild on
-    # example.png — 0.56 s saved of the 3.2 s rays=1000 pass).
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def relax(src_dev, ids, iters: int):
+    def relax_impl(src_dev, ids, iters: int):
         out = jax.lax.fori_loop(
             0, iters, lambda _, s: iteration(s, ids), src_dev
         )
         return apply_plan(out, plan)
 
-    src_dev = relax(jnp.asarray(src), ids_dev, int(cfg.iterations))
+    return relax_impl
 
-    out = np.asarray(src_dev)[:num_texels].copy()
+
+def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
+    (rects, total, plan, src, aa, rays, l0_total, l0_idx, chunk, n_chunks,
+     rows_pad) = _radiosity_prep(scene, cfg)
+
+    if aa is not None:
+        ids_dev = _form_factors_device(
+            scene, aa, cfg, rows_pad, use_aa=True, compact_rows=True
+        )
+    else:
+        ids_dev = _form_factors_device(
+            scene, pack_rects(rects), cfg, rows_pad, use_aa=False,
+            compact_rows=True,
+        )
+
+    relax_impl = _make_relax_impl(
+        cfg, plan, rays, l0_total, l0_idx, chunk, n_chunks, rows_pad, total
+    )
+    relax = functools.partial(jax.jit, static_argnames=("iters",))(
+        relax_impl
+    )
+    src_dev = relax(jnp.asarray(src), ids_dev, iters=int(cfg.iterations))
+
+    out = np.asarray(src_dev)[: scene.num_texels].copy()
     return out
+
+
+def make_radiosity_energy_timed(scene: Scene, cfg: RadiosityConfig):
+    """reps -> summed final-arena energy of `reps` back-to-back FULL
+    radiosity passes (form-factor table build + all relax iterations +
+    mipmap rebuild) as ONE device program (benchmarking aid, bench.py;
+    see ao_pallas.make_ao_energy_timed for the dispatch-amortization
+    rationale). Each rep folds its index into the sampling key, so the
+    reps are statistically identical but share no subexpressions XLA
+    could hoist out of the loop. Requires the TPU AA path."""
+    (rects, total, plan, src, aa, rays, l0_total, l0_idx, chunk, n_chunks,
+     rows_pad) = _radiosity_prep(scene, cfg)
+    if aa is None:
+        raise RuntimeError(
+            "make_radiosity_energy_timed requires the TPU AA path"
+        )
+    centers_all, normals, starts, wis, cis = _ff_schedule(
+        scene, int(cfg.texels_per_chunk), compact_rows=True
+    )
+    relax_impl = _make_relax_impl(
+        cfg, plan, rays, l0_total, l0_idx, chunk, n_chunks, rows_pad, total
+    )
+    key0 = jax.random.PRNGKey(cfg.seed)
+    gc = tuple(aa.group_counts)
+    fields = aa.fields
+    src0 = jnp.asarray(src)
+    iters = int(cfg.iterations)
+    num_texels = scene.num_texels
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(reps: int):
+        def rep(r, acc):
+            key = jax.random.fold_in(key0, r)
+            ids = jnp.full((rows_pad, rays), -1, jnp.int32)
+            ids = _ff_aa_impl(
+                ids, fields, centers_all, normals, starts, wis, cis, key,
+                rays, gc,
+            )
+            out = relax_impl(src0, ids, iters)
+            return acc + jnp.sum(out[:num_texels])
+
+        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    return run

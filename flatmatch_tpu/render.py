@@ -40,15 +40,42 @@ def compile_scene(layout_png: str, scale: float, cfg: RenderConfig):
     return geometry.Scene(lay), collision_json
 
 
-def supersampled_cfg(cfg: RenderConfig, ss: int) -> RenderConfig:
-    """cfg with the texel density raised ss^2-fold, so every wall's
-    power-of-two tile grid (rectangle.c:15-57 sizing loop) gets exactly
-    ss x the tiles in each dimension."""
-    return cfg.replace(
-        scene=dataclasses.replace(
-            cfg.scene, tile_size=cfg.scene.tile_size * ss * ss
+def supersampled_scene(
+    scene: geometry.Scene, ss: int, cfg: RenderConfig
+) -> geometry.Scene:
+    """Twin of `scene` whose wall tile grids are exactly ss x in each
+    dimension, with the texel arena re-laid-out to match.
+
+    The grids are scaled directly (wtiles/htiles *= ss) rather than by
+    re-running the power-of-two density loop (rectangle.c:15-57) at
+    ss^2 x density: the sizing loop doubles whichever dimension has the
+    lower linear resolution, so for elongated walls it can spend all ss^2
+    doublings on one axis (e.g. 1x32 -> 1x128 instead of 2x64), which
+    breaks the ss x ss box-average. ss must be a power of two so the
+    scaled grids keep the power-of-two mipmap invariant
+    (rectangle.c:176-186). Emitters and the box hull are shared with the
+    base scene (the photon engines only read them)."""
+    from .scene.rectangle import num_mipmap_texels
+
+    if ss < 1 or (ss & (ss - 1)):
+        raise ValueError(f"supersample must be a power of two >= 1, got {ss}")
+    lay = scene.layout
+    walls = []
+    total = 0
+    for r in lay.walls:
+        r2 = dataclasses.replace(
+            r, wtiles=r.wtiles * ss, htiles=r.htiles * ss, base=total
         )
-    )
+        total += num_mipmap_texels(r2)
+        walls.append(r2)
+    # same 1 GB arena cap as the scene compiler (parseLayout.c:520-524)
+    if total * 16 > cfg.scene.texel_cap_bytes:
+        raise MemoryError(
+            f"supersample={ss}: texel arena would need {total * 16 / 1e9:.2f}"
+            f" GB (cap {cfg.scene.texel_cap_bytes / 1e9:.2f} GB)"
+        )
+    lay2 = dataclasses.replace(lay, walls=walls, num_texels=total)
+    return geometry.Scene(lay2)
 
 
 def downsample_supersampled(
@@ -219,6 +246,11 @@ def run_engine(
                 from .parallel import mesh as pmesh
                 from .utils.progress import info
 
+                if cfg.ao.fused:
+                    from .utils.progress import warn
+
+                    warn("--ao-fused is single-chip only; using the "
+                         "sharded (unfused) AO engine")
                 info(f"sharded AO engine over {mesh.shape['photons']} "
                      f"devices")
                 return pmesh.render_ao_sharded(scene, aa, cfg.ao, mesh)
@@ -339,12 +371,11 @@ def render(
         warn("--preview applies to the photon engines only; ignored")
 
     if ss > 1:
-        # render on the ss^2-density twin (its own exposure normalization
+        # render on the ss x ss-grid twin (its own exposure normalization
         # is self-consistent: ss^2 x numTiles cancels ss^2 x fewer photons
         # per texel, main.c:73-77), then box-average down
-        cfg_ss = supersampled_cfg(cfg, ss)
-        scene_ss, _ = compile_scene(layout_png, scale, cfg_ss)
-        texels_ss = run_engine(scene_ss, cfg_ss, mesh, checkpoint_path)
+        scene_ss = supersampled_scene(scene, ss, cfg)
+        texels_ss = run_engine(scene_ss, cfg, mesh, checkpoint_path)
         texels = downsample_supersampled(scene, scene_ss, texels_ss, ss)
     else:
         texels = run_engine(scene, cfg, mesh, checkpoint_path, on_segment)

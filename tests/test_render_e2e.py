@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 from PIL import Image as PILImage
 
 from flatmatch_tpu.config import DEFAULT_CONFIG, Engine
@@ -213,6 +214,51 @@ def test_downsample_supersampled_semantics():
     out = downsample_supersampled(_S([r], 2), _S([r2], 8), tex, 2)
     np.testing.assert_allclose(out[0], (4.0, 8.0, 12.0))
     np.testing.assert_allclose(out[1], (0.0, 0.0, 0.0))
+
+
+def test_supersampled_scene_flagship_grids():
+    """Regression (round-4 ADVICE): the supersampled twin must scale EVERY
+    wall's tile grid by exactly ss per dimension. Re-running the
+    power-of-two sizing loop (rectangle.c:15-57) at ss^2 x density does
+    NOT guarantee that for elongated walls (it can spend both doublings
+    on one axis: 1x32 -> 1x128 instead of 2x64); the twin is built by
+    direct grid scaling instead. Asserted on the flagship scene, where
+    the density-loop approach demonstrably fails for several walls."""
+    import pathlib
+
+    from flatmatch_tpu.config import DEFAULT_CONFIG
+    from flatmatch_tpu.render import supersampled_scene
+    from flatmatch_tpu.scene import geometry, image as im, layout
+    from flatmatch_tpu.scene.rectangle import create_rect, num_mipmap_texels
+
+    png = pathlib.Path("/root/reference/example.png")
+    if not png.exists():
+        png = FIXTURES / "mini.png"
+    img = im.load_layout(str(png))
+    lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    ss = 2
+    twin = supersampled_scene(scene, ss, DEFAULT_CONFIG)
+    total = 0
+    for r, r2 in zip(scene.walls, twin.walls):
+        assert (r2.wtiles, r2.htiles) == (r.wtiles * ss, r.htiles * ss)
+        assert r2.base == total
+        total += num_mipmap_texels(r2)
+    assert twin.num_texels == total
+
+    # document why: the old density-loop construction mismatches on at
+    # least one flagship wall (ADVICE r4 measured 5/172)
+    if png.name == "example.png":
+        mismatched = 0
+        for r in scene.walls:
+            rd = create_rect(r.pos, r.width, r.height, 200.0 * ss * ss)
+            if (rd.wtiles, rd.htiles) != (r.wtiles * ss, r.htiles * ss):
+                mismatched += 1
+        assert mismatched > 0
+
+    # non-power-of-two ss is rejected up front
+    with pytest.raises(ValueError, match="power of two"):
+        supersampled_scene(scene, 3, DEFAULT_CONFIG)
 
 
 def test_render_supersample_end_to_end(tmp_path):
