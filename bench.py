@@ -147,15 +147,28 @@ def bench_radiosity(scene):
     rays = sum(num_tiles(r) for r in scene.walls) * RADIOSITY_RAYS
     if jax.default_backend() == "tpu":
         try:
-            run = radiosity.make_radiosity_energy_timed(scene, cfg)
+            parts = radiosity.make_radiosity_timed_parts(scene, cfg)
         except RuntimeError:
-            run = None
-        if run is not None:
-            float(np.asarray(run(reps=RAD_REPS)))  # warm/compile
-            ts, energy = _timed_outer(lambda: run(reps=RAD_REPS))
-            assert np.isfinite(energy) and energy > 0
-            dt = min(ts) / RAD_REPS
-            return rays / dt, dt, _spread(ts, RAD_REPS)
+            parts = None
+        if parts is not None:
+            build_ids, ff_run, relax_run = parts
+            ids = build_ids()
+            float(np.asarray(ff_run(reps=RAD_REPS)))             # warm
+            e = float(np.asarray(relax_run(ids, reps=RAD_REPS)))  # warm
+            assert np.isfinite(e) and e > 0
+            ff_ts, _ = _timed_outer(lambda: ff_run(reps=RAD_REPS))
+            rl_ts, e = _timed_outer(
+                lambda: relax_run(ids, reps=RAD_REPS)
+            )
+            assert np.isfinite(e) and e > 0
+            # per-pass = the two production programs' steady-state sum
+            dt = (min(ff_ts) + min(rl_ts)) / RAD_REPS
+            stats = _spread(
+                [a + b for a, b in zip(ff_ts, rl_ts)], RAD_REPS
+            )
+            stats["ff_s"] = round(min(ff_ts) / RAD_REPS, 4)
+            stats["relax_s"] = round(min(rl_ts) / RAD_REPS, 4)
+            return rays / dt, dt, stats
     radiosity.render_radiosity(scene, cfg)  # warm: compile-cache load etc.
     dt = float("inf")
     for _ in range(3):  # best of 3 (dispatch-latency spikes, see bench_ao)

@@ -594,19 +594,36 @@ def render_radiosity(scene: Scene, cfg: RadiosityConfig) -> np.ndarray:
     return out
 
 
-def make_radiosity_energy_timed(scene: Scene, cfg: RadiosityConfig):
-    """reps -> summed final-arena energy of `reps` back-to-back FULL
-    radiosity passes (form-factor table build + all relax iterations +
-    mipmap rebuild) as ONE device program (benchmarking aid, bench.py;
-    see ao_pallas.make_ao_energy_timed for the dispatch-amortization
-    rationale). Each rep folds its index into the sampling key, so the
-    reps are statistically identical but share no subexpressions XLA
-    could hoist out of the loop. Requires the TPU AA path."""
+def make_radiosity_timed_parts(scene: Scene, cfg: RadiosityConfig):
+    """Dispatch-amortized timing of the TWO production radiosity device
+    programs (benchmarking aid, bench.py; see ao_pallas.make_ao_energy_timed
+    for the amortization rationale). Returns (build_ids, ff_run, relax_run):
+
+      build_ids()          -> the production form-factor program, once
+      ff_run(reps)         -> reps back-to-back form-factor passes as ONE
+                              program (rep index folded into the sampling
+                              key, so reps share no hoistable work)
+      relax_run(ids, reps) -> reps back-to-back full relaxation passes
+                              (all iterations + mipmap rebuild) as ONE
+                              program; `ids` is an ARGUMENT because a
+                              closure capture would bake the ~0.36 GB
+                              table into the HLO as a constant (the
+                              remote-compile hop rejects it)
+
+    Why two programs instead of one fused whole-pass rep: fusing the
+    form-factor build and the relaxation into one rep body compiles a
+    program whose gather stage runs ~2.3x slower than the production
+    relax program (measured on v5e, rays=1000: 3.25 s/pass fused vs
+    0.19 + 1.29 s/pass for the stages repeated separately — the latter
+    matching the production programs' own one-dispatch timings of
+    0.29 + 1.32 s). A fused artifact would mis-state the production
+    kernels; per-stage repetition is both faithful and dispatch-immune.
+    Requires the TPU AA path."""
     (rects, total, plan, src, aa, rays, l0_total, l0_idx, chunk, n_chunks,
      rows_pad) = _radiosity_prep(scene, cfg)
     if aa is None:
         raise RuntimeError(
-            "make_radiosity_energy_timed requires the TPU AA path"
+            "make_radiosity_timed_parts requires the TPU AA path"
         )
     centers_all, normals, starts, wis, cis = _ff_schedule(
         scene, int(cfg.texels_per_chunk), compact_rows=True
@@ -621,8 +638,13 @@ def make_radiosity_energy_timed(scene: Scene, cfg: RadiosityConfig):
     iters = int(cfg.iterations)
     num_texels = scene.num_texels
 
+    def build_ids():
+        return _form_factors_device(
+            scene, aa, cfg, rows_pad, use_aa=True, compact_rows=True
+        )
+
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def run(reps: int):
+    def ff_run(reps: int):
         def rep(r, acc):
             key = jax.random.fold_in(key0, r)
             ids = jnp.full((rows_pad, rays), -1, jnp.int32)
@@ -630,9 +652,19 @@ def make_radiosity_energy_timed(scene: Scene, cfg: RadiosityConfig):
                 ids, fields, centers_all, normals, starts, wis, cis, key,
                 rays, gc,
             )
-            out = relax_impl(src0, ids, iters)
+            # fold the whole table into the carry so no write is dead
+            return acc + jnp.sum(ids, dtype=jnp.int32).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def relax_run(ids, reps: int):
+        def rep(r, acc):
+            # numerically-neutral carry dependency (acc*1e-30 rounds away
+            # against the emissive init) — XLA cannot hoist the pass
+            out = relax_impl(src0 + acc * jnp.float32(1e-30), ids, iters)
             return acc + jnp.sum(out[:num_texels])
 
         return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
 
-    return run
+    return build_ids, ff_run, relax_run

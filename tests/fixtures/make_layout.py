@@ -42,6 +42,16 @@ def mini(path):
     Image.fromarray(img, "RGB").save(path)
 
 
+def tiled(src_path, path, kx, ky):
+    """kx x ky grid of copies of an existing layout PNG — the scene-scale
+    stress fixture (round-4 VERDICT #2). Every copy keeps its own OUTSIDE
+    border (example.png's borders are all OUTSIDE), so the apartments stay
+    disjoint: rect count and texel count scale by exactly kx*ky parsed
+    copies of the base scene's geometry."""
+    img = np.asarray(Image.open(src_path).convert("RGB"))
+    Image.fromarray(np.tile(img, (ky, kx, 1)), "RGB").save(path)
+
+
 def tiny(path):
     """Single room with one window; smallest useful scene."""
     w, h = 36, 30

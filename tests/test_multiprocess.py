@@ -16,6 +16,10 @@ import pytest
 
 from tests.conftest import FIXTURES
 
+# serialize every test in this file onto one xdist worker (pytest.ini
+# --dist loadgroup): each spawns a 2-process x 4-device cluster of its own
+pytestmark = pytest.mark.xdist_group("multiprocess")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -313,3 +317,180 @@ def test_two_process_package_matches_single_process(tmp_path):
         a = (tmp_path / "p0" / rel).read_bytes()
         b = (tmp_path / "single" / rel).read_bytes()
         assert a == b, f"{rel} differs between 2-process and 1-process"
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    """Round-4 VERDICT #4: the flagship fit (inverse-rendering) loop
+    across a REAL process boundary. Render a --dump-raw target once,
+    run `cli fit` on the 2-process x 4-device cluster, and compare the
+    fitted albedo/power to a single-process 8-device fit: the global mesh
+    is identical (8 devices) so the traced photons are identical and only
+    the Gloo cross-process psum reduction order differs — the fits agree
+    to float tolerance. The report is primary-only."""
+    import json
+
+    env8 = _worker_env()
+    env8["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    tgt = tmp_path / "target"
+    p = subprocess.run(
+        [sys.executable, "-m", "flatmatch_tpu.cli", "render",
+         str(FIXTURES / "tiny.png"), "30",
+         "--engine", "photon_xla",
+         "--samples-per-area", "8000", "--photons-per-batch", "1024",
+         "--seed", "11", "--dump-raw", "--out", str(tgt)],
+        env=env8, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=300,
+    )
+    assert p.returncode == 0, p.stdout.decode()
+
+    fit_args = lambda out: [  # noqa: E731
+        "fit", str(FIXTURES / "tiny.png"), str(tgt / "tiles"), "30",
+        "--engine", "photon_xla",
+        "--samples-per-area", "8000", "--photons-per-batch", "1024",
+        "--seed", "11",
+        "--fit-steps", "12", "--fit-lr", "0.2",
+        "--fit-init-albedo", "0.5",
+        "--out", str(out),
+    ]
+    rcs, logs = _run_two_procs(
+        [fit_args(tmp_path / "f0"), fit_args(tmp_path / "f1")],
+        [tmp_path / "f0"], timeout=600,
+    )
+    assert rcs == [0, 0], logs
+    assert (tmp_path / "f0" / "fitted.json").exists()
+    assert not (tmp_path / "f1" / "fitted.json").exists(), (
+        "non-primary process wrote the fit report"
+    )
+
+    p = subprocess.run(
+        [sys.executable, "-m", "flatmatch_tpu.cli",
+         *fit_args(tmp_path / "fs")],
+        env=env8, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=600,
+    )
+    assert p.returncode == 0, p.stdout.decode()
+
+    multi = json.loads((tmp_path / "f0" / "fitted.json").read_text())
+    single = json.loads((tmp_path / "fs" / "fitted.json").read_text())
+    np.testing.assert_allclose(
+        multi["albedo"], single["albedo"], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        multi["power"], single["power"], rtol=2e-3, atol=2e-3
+    )
+    # the fit must actually have moved toward the target
+    assert multi["final_loss"] < multi["initial_loss"] * 0.5, multi
+    # truth is albedo 0.9 / power 1.0; from init 0.5 the 12 steps must
+    # close most of the albedo gap on the well-lit walls (low-energy
+    # walls carry little gradient at this tiny budget and move less)
+    assert sum(a > 0.7 for a in multi["albedo"]) >= 4, multi["albedo"]
+    assert max(multi["albedo"]) > 0.75, multi["albedo"]
+
+
+_GRAD_WORKER = r'''
+import json
+import sys
+
+sys.path.insert(0, "@REPO@")
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from flatmatch_tpu.parallel import multihost
+
+if len(sys.argv) > 1:
+    multihost.initialize(
+        coordinator=sys.argv[1],
+        num_processes=int(sys.argv[2]),
+        process_id=int(sys.argv[3]),
+    )
+import jax.numpy as jnp
+
+from flatmatch_tpu.config import PhotonConfig
+from flatmatch_tpu.diff.render import make_diff_renderer_sharded
+from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+from flatmatch_tpu.parallel.mesh import photon_mesh
+from flatmatch_tpu.scene import geometry, image as im, layout
+
+img = im.load_layout("@PNG@")
+lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+scene = geometry.Scene(lay)
+cfg = PhotonConfig(samples_per_area=4000.0, photons_per_batch=512, seed=3)
+rects = pack_rects(scene.walls)
+emitters = pack_emitters(
+    scene, cfg.samples_per_area, cfg.window_color, cfg.light_color
+)
+render = make_diff_renderer_sharded(
+    rects, emitters, scene.num_texels, cfg, photon_mesh()
+)
+albedo = jnp.full((len(scene.walls),), 0.7, jnp.float32)
+power = jnp.full((emitters.pos.shape[0],), 1.3, jnp.float32)
+ga, gp = jax.jit(
+    jax.grad(lambda a, p: render(a, p).sum(), argnums=(0, 1))
+)(albedo, power)
+print("GRAD " + json.dumps(
+    {"ga": np.asarray(ga).tolist(), "gp": np.asarray(gp).tolist()}
+))
+'''
+
+
+@pytest.mark.slow
+def test_two_process_sharded_grad_psum(tmp_path):
+    """Round-4 VERDICT #4 (direct seam test): a sharded value_and_grad
+    psums cotangents across the REAL process boundary. Both processes of
+    a 2 x 4-device cluster compute the gradient of the sharded diff
+    renderer; the [N]+[E] cotangents must be identical on both processes
+    (the psum is a collective) and match a single-process 8-device run
+    (same global mesh -> same photons) to float tolerance."""
+    import json
+
+    worker = tmp_path / "grad_worker.py"
+    worker.write_text(
+        _GRAD_WORKER.replace("@REPO@", REPO)
+        .replace("@PNG@", str(FIXTURES / "tiny.png"))
+    )
+
+    def grads_from(log):
+        for line in log.splitlines():
+            if line.startswith("GRAD "):
+                return json.loads(line[5:])
+        raise AssertionError(f"no GRAD line in:\n{log}")
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), f"localhost:{port}", "2",
+             str(pid)],
+            env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode())
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log}"
+    g0, g1 = grads_from(logs[0]), grads_from(logs[1])
+    # the psum result is replicated: both processes hold the same grads
+    np.testing.assert_allclose(g0["ga"], g1["ga"], rtol=1e-6)
+    np.testing.assert_allclose(g0["gp"], g1["gp"], rtol=1e-6)
+
+    env8 = _worker_env()
+    env8["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    p = subprocess.run(
+        [sys.executable, str(worker)], env=env8,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=300,
+    )
+    assert p.returncode == 0, p.stdout.decode()
+    gs = grads_from(p.stdout.decode())
+    assert np.abs(np.asarray(gs["ga"])).sum() > 0
+    np.testing.assert_allclose(g0["ga"], gs["ga"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(g0["gp"], gs["gp"], rtol=1e-4, atol=1e-6)
