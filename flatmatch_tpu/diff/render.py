@@ -329,11 +329,18 @@ def make_diff_renderer_wide(
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, splat_color_scale, trace_deposits_wide_diff,
-        trace_fold_wide, trace_fold_wide_rng, trace_splat_wide_diff,
-        trace_splat_wide_diff_rng,
+        cotangent_t, maybe_degrade_splat, splat_color_scale,
+        trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
+        trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
+    cfg, degrade_reason = maybe_degrade_splat(
+        cfg, compact_aa(aa, num_texels)[1]
+    )
+    if degrade_reason is not None:
+        from ..utils.progress import warn
+
+        warn(degrade_reason)
     fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
     i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused
@@ -535,11 +542,18 @@ def make_diff_renderer_sharded_wide(
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, device_seed, splat_color_scale,
+        cotangent_t, device_seed, maybe_degrade_splat, splat_color_scale,
         trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
         trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
+    cfg, degrade_reason = maybe_degrade_splat(
+        cfg, compact_aa(aa, num_texels)[1]
+    )
+    if degrade_reason is not None:
+        from ..utils.progress import warn
+
+        warn(degrade_reason)
     fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
     i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused

@@ -105,7 +105,7 @@ def device_seed(seed, ax):
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
                  chains: int = 1, fuse_h: int = 0, i8: bool = False,
-                 fold: bool = False):
+                 fold: bool = False, d0_counts=None):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -292,7 +292,16 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
             bidx = jnp.full((S, LANES), -1.0, jnp.float32)
 
             for a in range(3):
+                # d0_counts: MEASUREMENT-ONLY hook for the exact-culling
+                # experiment (round-4 VERDICT #3) — bounce 0 tests only
+                # the first d0_counts[a] rects of each axis group. NOT
+                # semantics-preserving (the timing twin of a per-emitter
+                # bounce-0 halfspace cull, whose reachable win is bounded
+                # by cull_fraction/max_depth); production callers leave it
+                # None. See tools/cull_experiment.py for the numbers.
                 count = group_counts[a]
+                if d == 0 and d0_counts is not None:
+                    count = d0_counts[a]
                 if count == 0:
                     continue
                 au, av = GROUP_UV[a]
@@ -855,6 +864,43 @@ def _acc_h(num_texels: int) -> int:
     return _round_up(_round_up(num_texels, LANES) // LANES, 8)
 
 
+# Scene-scale capacity ceiling of the fused in-kernel splat, measured on
+# v5e with k x k flagship tilings (tools/stress_scale.py, round 5): the
+# revisited [H, 3*128] VMEM accumulator compiles and runs at 6.13 MB
+# (3x2 tiling, 1032 rects / 510k compact texels) and fails Mosaic
+# compilation at 9.19 MB (3x3, 1548 rects / 766k texels) — the
+# accumulator plus the kernel's working blocks exhausts the ~16 MB VMEM.
+# The trace kernel itself is NOT the ceiling: the deposit-stream
+# ('scatter') tier compiles and stays exact at 3x3 (78.6 KB SMEM scene
+# block), so past this limit the engine degrades to that tier instead of
+# failing opaquely. Threshold = the largest measured-good footprint.
+FUSED_ACC_VMEM_LIMIT_BYTES = 6_300_000
+
+
+def maybe_degrade_splat(cfg: PhotonConfig, total_c: int):
+    """cfg with the fused in-kernel splat degraded to the exact
+    deposit-stream tier when the accumulator exceeds the measured VMEM
+    ceiling (see FUSED_ACC_VMEM_LIMIT_BYTES). Returns (cfg, reason|None);
+    callers warn with the reason. The scatter tier is the EXACT f32 splat
+    (same draws, same physics — only the splat mechanism changes), so the
+    degradation is semantics-preserving up to i8 quantization the fused
+    tier would have applied."""
+    if cfg.splat not in ("inkernel", "fused", "inkernel_i8", "fused_i8"):
+        return cfg, None
+    acc = _acc_h(total_c) * 3 * LANES * 4
+    if acc <= FUSED_ACC_VMEM_LIMIT_BYTES:
+        return cfg, None
+    import dataclasses
+
+    reason = (
+        f"fused in-kernel splat accumulator needs {acc / 1e6:.1f} MB VMEM "
+        f"(measured v5e ceiling {FUSED_ACC_VMEM_LIMIT_BYTES / 1e6:.1f} MB "
+        f"at {total_c} compact texels); using the exact deposit-stream "
+        f"splat tier"
+    )
+    return dataclasses.replace(cfg, splat="scatter"), reason
+
+
 def acc_to_lightmap(acc: jnp.ndarray, num_texels: int) -> jnp.ndarray:
     """[H, 3*128] fused accumulator -> [num_texels, 3] lightmap
     (acc[h, ch*128 + j] is texel h*128+j, channel ch — the
@@ -931,7 +977,7 @@ def trace_splat_wide(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
-                     "unroll", "batch_size", "chains", "i8"),
+                     "unroll", "batch_size", "chains", "i8", "d0_counts"),
 )
 def trace_splat_wide_rng(
     aa_fields: jnp.ndarray,
@@ -946,6 +992,7 @@ def trace_splat_wide_rng(
     unroll: "int | None" = None,
     chains: int = 1,
     i8: bool = False,
+    d0_counts=None,
 ):
     """trace_splat_wide with the in-kernel counter-hash PRNG (cfg.device_rng):
     neither uniforms nor deposits touch HBM — the only per-batch HBM traffic
@@ -970,7 +1017,8 @@ def trace_splat_wide_rng(
         check_i8_accumulator(cfg, B)
     unroll = resolve_unroll(unroll)
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
-                          chains=chains, fuse_h=H, i8=i8)
+                          chains=chains, fuse_h=H, i8=i8,
+                          d0_counts=d0_counts)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     seed_arr = jnp.full((1, 1), seed, jnp.int32)
     N = aa_fields.shape[1]
@@ -1695,6 +1743,11 @@ def render_photons(
         sublanes //= 2
     key = jax.random.PRNGKey(cfg.seed)
     aa_c, total_c, expand = compact_aa(aa, num_texels)
+    cfg, degrade_reason = maybe_degrade_splat(cfg, total_c)
+    if degrade_reason is not None:
+        from ..utils.progress import warn
+
+        warn(degrade_reason)
 
     if checkpoint_path is None and on_segment is None:
         # fast path: one device program for the whole schedule

@@ -354,6 +354,15 @@ def render_photons_sharded_wide(
 
     key = jax.random.PRNGKey(cfg.seed)
     aa_c, total_c, expand = compact_aa(aa, num_texels)
+    # each shard holds the FULL replicated accumulator, so the fused-splat
+    # VMEM ceiling applies per chip exactly as single-chip
+    from ..engines.photon_pallas_wide import maybe_degrade_splat
+
+    cfg, degrade_reason = maybe_degrade_splat(cfg, total_c)
+    if degrade_reason is not None:
+        from ..utils.progress import warn
+
+        warn(degrade_reason)
 
     if checkpoint_path is None and on_segment is None:
         # fast path: the whole schedule as one sharded program, one psum

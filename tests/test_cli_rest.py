@@ -306,3 +306,69 @@ def test_cli_fit_roundtrip(tmp_path):
     assert report["final_loss"] < report["initial_loss"] / 100
     for p in report["power"]:
         assert abs(p - 1.0) < 0.02, report["power"]
+
+
+def test_walk_collision_movement_contract():
+    """The /walk page's movement collision against the real RLE map
+    (round-4 VERDICT #8): decode collisionMap.json exactly as the
+    walkthrough JS does (row-major, FIRST run impassable, even indices
+    impassable — parseLayout.c:538-569) and drive canStand() movement:
+    the startingPosition must be standable, walking any axis-aligned ray
+    from it must be blocked before leaving the raster (the apartment is
+    enclosed), and the blocking cell must trace back to a real WALL pixel
+    within the dilation radius (parseLayout.c:571-594)."""
+    from flatmatch_tpu.scene import collision, image as im, layout
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    rle = json.loads(collision.build_collision_map(img))
+    lay = layout.parse_layout(
+        img, np.float32(1.0) / np.float32(30.0), 200.0
+    )
+    h, w = img.shape
+    passable = np.zeros(h * w, np.uint8)
+    at, ps = 0, 0                       # run 0 is impassable
+    for run in rle:
+        passable[at:at + run] = ps
+        at += run
+        ps = 1 - ps
+    assert at == w * h, "RLE does not cover the raster"
+    passable = passable.reshape(h, w)
+
+    scale = 30.0
+
+    def can_stand(x, y):                # the JS canStand(), verbatim
+        px, py = int(np.floor(x * scale)), int(np.floor(y * scale))
+        if px < 0 or py < 0 or px >= w or py >= h:
+            return False
+        return passable[py, px] == 1
+
+    sx, sy = lay.starting_position
+    assert can_stand(sx, sy), "startingPosition is not standable"
+
+    wall_mask = img == np.uint32(0xFF000000)  # WALL (parseLayout.c:16)
+    step = 0.05
+    total_steps = 0
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        x, y, steps = sx, sy, 0
+        while can_stand(x + dx * step, y + dy * step):
+            x += dx * step
+            y += dy * step
+            steps += 1
+            assert steps < 10000, "walked out of an enclosed apartment"
+        total_steps += steps
+        # the cell that blocked us is impassable because of wall dilation:
+        # a true WALL pixel lies within the 5px radius
+        bx = int(np.floor((x + dx * step) * scale))
+        by = int(np.floor((y + dy * step) * scale))
+        bx, by = np.clip(bx, 0, w - 1), np.clip(by, 0, h - 1)
+        r = 5
+        neigh = wall_mask[
+            max(0, by - r):by + r + 1, max(0, bx - r):bx + r + 1
+        ]
+        assert neigh.any(), (
+            f"blocked at ({bx},{by}) with no WALL pixel within {r}px"
+        )
+    # the start must have SOME room to walk (it is the distance-transform
+    # argmax of the passable space, parseLayout.c:131-166)
+    assert total_steps > 0, "startingPosition wedged in all directions"
+

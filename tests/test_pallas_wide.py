@@ -431,3 +431,39 @@ def test_device_rng_sharded_decorrelation(tiny):
         live = np.any(a != 0, axis=(1, 2)) & np.any(b != 0, axis=(1, 2))
         same = np.all(a == b, axis=(1, 2)) & live
         assert same.sum() <= max(1, 0.01 * live.sum()), (shift, same.sum())
+
+
+def test_fused_splat_capacity_degradation(tiny, monkeypatch):
+    """Past the measured fused-splat VMEM ceiling the wide engine degrades
+    to the exact deposit-stream tier with a warning instead of failing
+    Mosaic compilation (round-4 VERDICT #2; ceiling measured by
+    tools/stress_scale.py on v5e). Forced here by shrinking the limit;
+    the degraded render must equal an explicit scatter-tier run."""
+    import dataclasses
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    W = photon_pallas_wide
+
+    cfg_fused = dataclasses.replace(CFG, splat="inkernel")
+    # arithmetic: below the limit nothing changes
+    out_cfg, reason = W.maybe_degrade_splat(cfg_fused, 10_000)
+    assert out_cfg is cfg_fused and reason is None
+    # non-fused tiers are never touched
+    out_cfg, reason = W.maybe_degrade_splat(CFG, 1 << 30)
+    assert out_cfg is CFG and reason is None
+
+    monkeypatch.setattr(W, "FUSED_ACC_VMEM_LIMIT_BYTES", 1024)
+    out_cfg, reason = W.maybe_degrade_splat(cfg_fused, 10_000)
+    assert out_cfg.splat == "scatter"
+    assert reason is not None and "VMEM" in reason
+
+    with pltpu.force_tpu_interpret_mode():
+        degraded = np.asarray(photon_pallas_wide.render_photons(
+            rects, emitters, scene.num_texels, cfg_fused, aa, sublanes=1
+        ))
+        scatter = np.asarray(photon_pallas_wide.render_photons(
+            rects, emitters, scene.num_texels, CFG, aa, sublanes=1
+        ))
+    np.testing.assert_array_equal(degraded, scatter)
+    assert degraded.sum() > 0

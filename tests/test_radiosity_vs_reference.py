@@ -72,6 +72,57 @@ def test_radiosity_matches_reference_engine(name, fixture):
 
 
 @pytest.mark.slow
+def test_radiosity_production_budget_matches_reference():
+    """PRODUCTION-config gate (round-4 VERDICT missing #2): the full
+    reference budget — rays_per_texel=10000 (radiosityNative.c:147), 7
+    iterations, reflectance 0.3 — against a raw texel dump from the
+    UNPATCHED reference build (srand(12345), /tmp/golden recipe in
+    .claude/skills/verify). The small-fixture gates run at rays=2000;
+    this closes the budget gap so the production radiosity config has
+    direct reference evidence, same standard as the photon engine's
+    production gate.
+
+    Scene scoping: on CPU the 10k-ray run is tractable on mini (~8k
+    texels, a few minutes); the FLAGSHIP scene at 10k rays takes >30 min
+    on this box, so its production-budget gate runs on the chip instead
+    (tools/radiosity_hardware_gate.py, same dump/tolerances — last green
+    recorded in README)."""
+    from tests.conftest import FIXTURES
+
+    img = im.load_layout(str(FIXTURES / "mini.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    gold = np.fromfile(
+        FIXTURES / "mini_radiosity_rays10000.f32", dtype="<f4"
+    ).reshape(scene.num_texels, 4)[:, :3]
+
+    cfg = RadiosityConfig(rays_per_texel=10000, iterations=7, seed=5)
+    ours = radiosity.render_radiosity(scene, cfg)
+
+    # at 10k rays the per-texel MC sigma is ~1%, aggregates far tighter
+    np.testing.assert_allclose(ours.sum(), gold.sum(), rtol=0.01)
+
+    checked = 0
+    for i, r in enumerate(scene.walls):
+        sl = slice(r.base, r.base + num_tiles(r))
+        o = ours[sl].mean()
+        g = gold[sl].mean()
+        if g > 1e-3:
+            # sqrt(5)x tighter bands than the rays=2000 gate (budget-
+            # linear variance), floored at 2%
+            rtol = max(0.02, (0.08 if num_tiles(r) >= 64 else 0.2)
+                       / np.sqrt(5.0))
+            np.testing.assert_allclose(
+                o, g, rtol=rtol, err_msg=f"wall {i} mean radiosity"
+            )
+            checked += 1
+    assert checked >= 5, f"only {checked} walls carried energy"
+
+    corr = np.corrcoef(ours.ravel(), gold.ravel())[0, 1]
+    assert corr > 0.995, f"texel correlation {corr}"
+
+
+@pytest.mark.slow
 def test_tolerance_bands_cover_mc_variance():
     """Variance audit for the per-wall bands above (round-3 VERDICT weak
     #3): the 8%/20% rtol values were chosen empirically; this measures the
