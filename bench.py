@@ -114,11 +114,21 @@ def bench_ao(scene, aa):
     if aa is not None and jax.default_backend() == "tpu":
         from flatmatch_tpu.engines import ao_pallas
 
-        run = ao_pallas.make_ao_energy_timed(scene, aa, cfg)
+        # headline = the production default (fused in-kernel ray
+        # synthesis, round 5); the chunked pass recorded alongside
+        run = ao_pallas.make_ao_fused_energy_timed(scene, aa, cfg)
         float(np.asarray(run(reps=AO_REPS)))  # warm/compile
         ts, energy = _timed_outer(lambda: run(reps=AO_REPS))
         assert np.isfinite(energy) and energy > 0
-        return rays * AO_REPS / min(ts), _spread(ts, AO_REPS)
+        stats = _spread(ts, AO_REPS)
+        run_c = ao_pallas.make_ao_energy_timed(scene, aa, cfg)
+        float(np.asarray(run_c(reps=AO_REPS)))
+        ts_c, energy_c = _timed_outer(lambda: run_c(reps=AO_REPS))
+        assert np.isfinite(energy_c) and energy_c > 0
+        stats["chunked_texel_rays_per_s"] = round(
+            rays * AO_REPS / min(ts_c), 1
+        )
+        return rays * AO_REPS / min(ts), stats
     from flatmatch_tpu.engines import ao
 
     run = lambda: ao.render_ao(  # noqa: E731

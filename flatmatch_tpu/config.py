@@ -108,9 +108,12 @@ class AoConfig:
     normalization: float = 1.5            # photonmap.c:473
     texels_per_chunk: int = 512           # TPU batching knob
     # in-kernel ray synthesis (ao_pallas.render_ao_fused): constant HBM
-    # footprint in scene size; measured at parity with the chunked pass
-    # on example.png (see README)
-    fused: bool = False
+    # footprint in scene size. PRODUCTION DEFAULT since round 5: at
+    # steady state (in-program repetition) it measures 28.8 ms/pass vs
+    # the chunked pass's 47.6 ms on example.png/v5e — the round-4
+    # "at parity" read was a dispatch-noise artifact. Single-chip only
+    # (the sharded AO path uses the chunked pass); --ao-chunked opts out.
+    fused: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -447,12 +447,9 @@ def _ao_fused(
     return jnp.sum(arena, axis=1)
 
 
-def render_ao_fused(
-    scene: Scene, aa: AARectsDev, cfg: AoConfig, sublanes: int = 64,
-    unroll: "int | None" = None,
-) -> np.ndarray:
-    """Full AO pass with in-kernel ray synthesis (photonmap.c:436-491
-    semantics; see the module comment above for the layout)."""
+def _ao_fused_prep(scene: Scene, cfg: AoConfig, sublanes: int):
+    """Host tables for the fused-expansion pass: (wall_ids, centers8,
+    dirs3, facrow, S_T, n_kblocks, gather_idx, norm)."""
     vs = geosphere(cfg.geosphere_level)
     K = len(vs)
     K_pad = (K + LANES - 1) // LANES * LANES
@@ -491,13 +488,25 @@ def render_ao_fused(
         pos += t_pad
     centers8 = np.concatenate(blocks_centers)
     wall_ids = np.asarray(wall_ids, np.int32)
+    norm = float(facrow.sum()) * float(cfg.normalization)
+    return (jnp.asarray(wall_ids), jnp.asarray(centers8),
+            jnp.asarray(dirs3), jnp.asarray(facrow), S_T, n_kblocks,
+            gather_idx, norm)
+
+
+def render_ao_fused(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, sublanes: int = 64,
+    unroll: "int | None" = None,
+) -> np.ndarray:
+    """Full AO pass with in-kernel ray synthesis (photonmap.c:436-491
+    semantics; see the module comment above for the layout)."""
+    (wall_ids, centers8, dirs3, facrow, S_T, n_kblocks, gather_idx,
+     norm) = _ao_fused_prep(scene, cfg, sublanes)
 
     sums = np.asarray(_ao_fused(
-        aa.fields, jnp.asarray(wall_ids), jnp.asarray(centers8),
-        jnp.asarray(dirs3), jnp.asarray(facrow), aa.group_counts,
+        aa.fields, wall_ids, centers8, dirs3, facrow, aa.group_counts,
         S_T, n_kblocks, float(cfg.sky_distance), unroll,
     ))
-    norm = float(facrow.sum()) * float(cfg.normalization)
 
     texels = np.zeros((scene.num_texels, 3), f32)
     for w in scene.walls:
@@ -505,3 +514,31 @@ def render_ao_fused(
         vals = sums[gather_idx[w.base : w.base + n]] / norm
         texels[w.base : w.base + n] = vals[:, None]
     return texels
+
+
+def make_ao_fused_energy_timed(
+    scene: Scene, aa: AARectsDev, cfg: AoConfig, sublanes: int = 64,
+    unroll: "int | None" = None,
+):
+    """reps -> summed energy of reps back-to-back fused-expansion AO
+    passes as ONE device program (the make_ao_energy_timed counterpart
+    for the render_ao_fused variant; same acc*1e-30 carry dependency)."""
+    (wall_ids, centers8, dirs3, facrow, S_T, n_kblocks, _gather,
+     _norm) = _ao_fused_prep(scene, cfg, sublanes)
+    gc = tuple(aa.group_counts)
+    fields = aa.fields
+    sky = float(cfg.sky_distance)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def run(reps: int):
+        def rep(r, acc):
+            c8 = centers8 + acc * jnp.float32(1e-30)
+            sums = _ao_fused(
+                fields, wall_ids, c8, dirs3, facrow, gc, S_T, n_kblocks,
+                sky, unroll,
+            )
+            return acc + jnp.sum(sums)
+
+        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    return run

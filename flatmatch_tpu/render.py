@@ -247,10 +247,10 @@ def run_engine(
                 from .utils.progress import info
 
                 if cfg.ao.fused:
-                    from .utils.progress import warn
-
-                    warn("--ao-fused is single-chip only; using the "
-                         "sharded (unfused) AO engine")
+                    # fused ray synthesis is single-chip only; note it so
+                    # the (default-on) flag is never silently ignored
+                    info("sharded AO uses the chunked pass (fused ray "
+                         "synthesis is single-chip only)")
                 info(f"sharded AO engine over {mesh.shape['photons']} "
                      f"devices")
                 return pmesh.render_ao_sharded(scene, aa, cfg.ao, mesh)

@@ -372,3 +372,36 @@ def test_walk_collision_movement_contract():
     # argmax of the passable space, parseLayout.c:131-166)
     assert total_steps > 0, "startingPosition wedged in all directions"
 
+
+
+@pytest.mark.fast
+def test_ao_fused_default_and_optout(tmp_path, monkeypatch):
+    """--ao-fused is the production default since round 5 (1.42B vs 860M
+    texel-rays/s steady state on v5e); --ao-chunked opts out. Gated at
+    the real argparse surface (the flag-plumbing test exercises
+    _build_cfg with an explicit namespace, which cannot see argparse
+    defaults)."""
+    import sys
+
+    import flatmatch_tpu.render  # noqa: F401
+
+    render_mod = sys.modules["flatmatch_tpu.render"]
+    seen = []
+
+    def fake_render(layout, out, scale, cfg, **kw):
+        seen.append(cfg)
+
+        class R:
+            tile_paths = []
+
+        return R()
+
+    monkeypatch.setattr(render_mod, "render", fake_render)
+    base = ["render", str(FIXTURES / "tiny.png"), "30",
+            "--out", str(tmp_path)]
+    assert cli.main(base) == 0
+    assert seen[-1].ao.fused is True            # the default
+    assert cli.main(base + ["--ao-chunked"]) == 0
+    assert seen[-1].ao.fused is False           # the opt-out
+    assert cli.main(base + ["--ao-fused"]) == 0
+    assert seen[-1].ao.fused is True

@@ -5,10 +5,10 @@ regressions that interpret-mode tests cannot see (the bf16-MXU texel-id
 corruption class, photon_pallas.py header note).
 
 Run on a TPU host:  python tools/ao_hardware_gate.py
-Last green (v5e, 2026-08-20, min-tree + unroll-8 distance kernel): tiny
-max_rel 2.4e-6; mini mean_rel 1.2e-4, 1.98% of texels >= 5e-4
-(knife-edge ties, see tests/test_ao_parity.py audit note); example
-mean_rel 6.0e-6, 0.04% >= 5e-4."""
+Last green (v5e, 2026-08-20 round 5, chunked AND fused variants): tiny
+max_rel 2.4e-6 / fused 2.5e-6; mini mean_rel 1.2e-4, 1.98% of texels
+>= 5e-4 both variants (knife-edge ties, see tests/test_ao_parity.py
+audit note); example mean_rel 6.0e-6, 0.04% >= 5e-4 both variants."""
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -51,6 +51,21 @@ for name in ("tiny", "mini", "example"):
     )
     assert rel.mean() < 2e-4, rel.mean()
     assert frac_bad <= 0.02, frac_bad
+
+    # the FUSED variant (in-kernel ray synthesis — the production default
+    # since round 5) against the same golden: same per-(ray, rect)
+    # arithmetic, sum-over-k order differs by ulps
+    ours_f = np.asarray(ao_pallas.render_ao_fused(scene, aa, AoConfig()))
+    a = ours_f[level0]
+    rel_f = np.abs(a - g) / denom
+    frac_bad_f = float((rel_f.max(axis=1) >= 5e-4).mean())
+    print(
+        f"{name} fused: max_rel={rel_f.max():.2e} "
+        f"mean_rel={rel_f.mean():.2e} "
+        f"frac_texels_rel>=5e-4: {frac_bad_f:.4f}"
+    )
+    assert rel_f.mean() < 2e-4, rel_f.mean()
+    assert frac_bad_f <= 0.02, frac_bad_f
 
 # XLA AO engine on a flagship wall subset: regression gate for the
 # default-precision-matmul intersector bug (f32 `@` = one bf16 MXU pass on

@@ -11,6 +11,8 @@ test_radiosity_production_budget_matches_reference), but exercising the
 Pallas AA form-factor path + on-chip gather that production uses.
 
 Run on a TPU host:  python tools/radiosity_hardware_gate.py
+Last green (v5e, 2026-08-20): 45.3 s on chip, total-energy err 1.8e-4,
+texel corr 0.999894, worst wall-mean rel err 9.8e-3 over 172 walls.
 """
 import sys
 
