@@ -66,3 +66,35 @@ def parse_rects_fixture(path):
 @pytest.fixture(scope="session")
 def fixtures_dir():
     return FIXTURES
+
+
+# ---------------------------------------------------------------------------
+# xdist wall-clock packing: dispatch the known-heavy files FIRST. Workers
+# pull tests in collection order, so a 5-10 minute test collected near the
+# end strands one worker past everyone else's finish line (measured round
+# 5: the flagship radiosity parity test, 536 s, dominated the 22:35 wall).
+# A stable sort by file weight keeps intra-file order (fixtures, tie-break
+# semantics) while letting the long poles start at t=0.
+# ---------------------------------------------------------------------------
+_HEAVY_FILES = (
+    "test_radiosity_vs_reference.py",   # 536 s flagship parity case
+    "test_render_e2e.py",               # 294 s interpret-mode preview
+    "test_parallel.py",                 # 284 s sharded inkernel parity
+    "test_radiosity.py",                # 238 s form-factor batches
+    "test_multiprocess.py",             # ~6 min serialized group
+    "test_diff.py",
+    "test_ao_parity.py",
+    "test_pallas_wide.py",
+    "test_physics_vs_reference.py",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    def weight(item):
+        path = str(item.fspath)
+        for i, name in enumerate(_HEAVY_FILES):
+            if path.endswith(name):
+                return i
+        return len(_HEAVY_FILES)
+
+    items.sort(key=weight)
