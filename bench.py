@@ -344,6 +344,11 @@ def main():
             extras["radiosity_rays_per_texel"] = RADIOSITY_RAYS
             if rad_stats:
                 extras["radiosity_bench"] = rad_stats
+            rad_ref = ref_meta.get("reference_radiosity_rays_per_s")
+            if rad_ref:
+                extras["radiosity_vs_baseline"] = round(
+                    rad_rate / rad_ref, 1
+                )
         except Exception as e:
             extras["radiosity_error"] = repr(e)[:200]
         if use_wide:

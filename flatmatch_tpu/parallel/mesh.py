@@ -411,6 +411,84 @@ def render_photons_sharded_wide(
     return expand(compact_lm)
 
 
+def render_ao_fused_sharded(
+    scene,
+    aa,
+    cfg,
+    mesh: Mesh = None,
+    sublanes: int = 64,
+    unroll: "int | None" = None,
+):
+    """The fused-expansion AO pass (engines/ao_pallas.render_ao_fused —
+    the single-chip production default since round 5, 1.42B vs 860M
+    texel-rays/s) sharded over the `photons` mesh axis.
+
+    Like render_ao_sharded, AO is texel-parallel with ZERO collectives:
+    the fused prep's per-wall texel BLOCKS (S_T sublanes each) divide
+    across devices — each device runs the fused kernel over its block
+    slice against the replicated scene + per-wall direction tables, and
+    the hosts gather the concatenated block sums. Block padding replays
+    each wall's first texel (valid rays, discarded by the gather-back),
+    and device padding replays block 0, so every lane traces real
+    geometry."""
+    import numpy as np
+
+    from ..engines.ao_pallas import _ao_fused, _ao_fused_prep
+    from ..scene.rectangle import num_tiles
+
+    f32 = np.float32
+    mesh = mesh or photon_mesh()
+    n_dev = mesh.shape["photons"]
+
+    (wall_ids, centers8, dirs3, facrow, S_T, n_kblocks, gather_idx,
+     norm) = _ao_fused_prep(scene, cfg, sublanes)
+    n_blocks = int(wall_ids.shape[0])
+    rows = n_blocks * S_T
+
+    # pad the BLOCK axis to a device multiple by replaying block 0
+    blocks_pad = (n_blocks + n_dev - 1) // n_dev * n_dev
+    if blocks_pad != n_blocks:
+        import jax.numpy as _jnp
+
+        extra = blocks_pad - n_blocks
+        wall_ids = _jnp.concatenate(
+            [wall_ids, _jnp.broadcast_to(wall_ids[0:1], (extra,))]
+        )
+        centers8 = _jnp.concatenate(
+            [centers8, _jnp.tile(centers8[0:S_T], (extra, 1))]
+        )
+
+    gc = tuple(aa.group_counts)
+    sky = float(cfg.sky_distance)
+    sharded = P("photons")
+    repl = P()
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(sharded, sharded, repl, repl, repl),
+        out_specs=sharded,
+        check_vma=False,
+    )
+    def run(w_loc, c_loc, fields, dirt, fac):
+        return _ao_fused(
+            fields, w_loc, c_loc, dirt, fac, gc, S_T, n_kblocks, sky,
+            unroll,
+        )
+
+    sums = np.asarray(
+        run(wall_ids, centers8, aa.fields, dirs3, facrow)
+    )[:rows]
+
+    texels = np.zeros((scene.num_texels, 3), f32)
+    for w in scene.walls:
+        n = num_tiles(w)
+        vals = sums[gather_idx[w.base : w.base + n]] / norm
+        texels[w.base : w.base + n] = vals[:, None]
+    return texels
+
+
 def render_ao_sharded(
     scene,
     aa,

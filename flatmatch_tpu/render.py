@@ -247,10 +247,11 @@ def run_engine(
                 from .utils.progress import info
 
                 if cfg.ao.fused:
-                    # fused ray synthesis is single-chip only; note it so
-                    # the (default-on) flag is never silently ignored
-                    info("sharded AO uses the chunked pass (fused ray "
-                         "synthesis is single-chip only)")
+                    info(f"sharded FUSED AO engine over "
+                         f"{mesh.shape['photons']} devices")
+                    return pmesh.render_ao_fused_sharded(
+                        scene, aa, cfg.ao, mesh
+                    )
                 info(f"sharded AO engine over {mesh.shape['photons']} "
                      f"devices")
                 return pmesh.render_ao_sharded(scene, aa, cfg.ao, mesh)

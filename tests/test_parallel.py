@@ -234,6 +234,31 @@ def test_sharded_ao_bit_identical(tiny):
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_fused_ao_bit_identical(tiny):
+    """The fused-expansion AO (production default since round 5) sharded
+    over the mesh is BIT-identical to the single-device fused pass: the
+    per-wall texel blocks divide across devices (device padding replays
+    block 0, discarded by the gather-back), zero collectives."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.config import AoConfig
+    from flatmatch_tpu.engines import ao_pallas
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.parallel.mesh import render_ao_fused_sharded
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    cfg = AoConfig(geosphere_level=2)   # see test_sharded_ao_bit_identical
+    with pltpu.force_tpu_interpret_mode():
+        single = ao_pallas.render_ao_fused(scene, aa, cfg, sublanes=8)
+        # 3 devices: exercises REAL block padding (block counts are not
+        # a multiple of 3)
+        sharded = render_ao_fused_sharded(
+            scene, aa, cfg, photon_mesh(jax.devices()[:3]), sublanes=8
+        )
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_sharded_radiosity_matches_statistically(tiny):
     """Radiosity with the ray axis sharded over the mesh targets the same
     integral as the single-device engine (different ray partition, so
