@@ -105,7 +105,7 @@ def device_seed(seed, ax):
 def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                  unroll: int = 1, diff: bool = False, rng: bool = False,
                  chains: int = 1, fuse_h: int = 0, i8: bool = False,
-                 fold: bool = False, d0_counts=None):
+                 fold: bool = False, d0_counts=None, no_texel: bool = False):
     """`diff=True` builds the differentiable-path variant: per-rect albedo
     read from an extra SMEM row (replacing the scalar cfg.albedo,
     diff/render.py parameterization), plus a third output recording the
@@ -343,18 +343,26 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                     )
                     dist = jnp.where(valid, fac, _MISS)
                     upd = dist < best
-                    wt = scene_ref[A_WT, j]
-                    # lower clip dropped: winning lanes (upd) are valid, so
-                    # u, v >= 0 there; losing lanes' texel is discarded by
-                    # the select below
-                    tx = jnp.minimum(
-                        jnp.floor(u * scene_ref[A_KTU, j]), wt - 1.0
-                    )
-                    ty = jnp.minimum(
-                        jnp.floor(v * scene_ref[A_KTV, j]),
-                        scene_ref[A_HT, j] - 1.0,
-                    )
-                    texel = scene_ref[A_BASE, j] + ty * wt + tx
+                    if no_texel:
+                        # MEASUREMENT-ONLY twin (tools/cull_experiment.py
+                        # sibling): drops the 9 texel-addressing ops per
+                        # rect to bound what deferring the address compute
+                        # to a post-loop epilogue could win. Wrong
+                        # results; never set on production paths.
+                        texel = fac
+                    else:
+                        wt = scene_ref[A_WT, j]
+                        # lower clip dropped: winning lanes (upd) are
+                        # valid, so u, v >= 0 there; losing lanes' texel
+                        # is discarded by the select below
+                        tx = jnp.minimum(
+                            jnp.floor(u * scene_ref[A_KTU, j]), wt - 1.0
+                        )
+                        ty = jnp.minimum(
+                            jnp.floor(v * scene_ref[A_KTV, j]),
+                            scene_ref[A_HT, j] - 1.0,
+                        )
+                        texel = scene_ref[A_BASE, j] + ty * wt + tx
                     best = jnp.where(upd, dist, best)
                     btex = jnp.where(upd, texel, btex)
                     baxis = jnp.where(upd, jnp.float32(a), baxis)
@@ -977,7 +985,8 @@ def trace_splat_wide(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "group_counts", "num_texels", "sublanes",
-                     "unroll", "batch_size", "chains", "i8", "d0_counts"),
+                     "unroll", "batch_size", "chains", "i8", "d0_counts",
+                     "no_texel"),
 )
 def trace_splat_wide_rng(
     aa_fields: jnp.ndarray,
@@ -993,6 +1002,7 @@ def trace_splat_wide_rng(
     chains: int = 1,
     i8: bool = False,
     d0_counts=None,
+    no_texel: bool = False,
 ):
     """trace_splat_wide with the in-kernel counter-hash PRNG (cfg.device_rng):
     neither uniforms nor deposits touch HBM — the only per-batch HBM traffic
@@ -1018,7 +1028,7 @@ def trace_splat_wide_rng(
     unroll = resolve_unroll(unroll)
     kernel = _make_kernel(cfg, S, tuple(group_counts), U, unroll, rng=True,
                           chains=chains, fuse_h=H, i8=i8,
-                          d0_counts=d0_counts)
+                          d0_counts=d0_counts, no_texel=no_texel)
     nvalid_arr = jnp.full((1, 1), n_valid, jnp.int32)
     seed_arr = jnp.full((1, 1), seed, jnp.int32)
     N = aa_fields.shape[1]
