@@ -340,6 +340,11 @@ def main():
         try:
             rad_rate, rad_dt, rad_stats = bench_radiosity(scene)
             extras["radiosity_rays_per_s"] = round(rad_rate, 1)
+            # DEFINITION (round 5+): device steady-state per pass, the sum
+            # of the two production programs repeated in-program (ff_s +
+            # relax_s). BENCH_r04 and earlier recorded one end-to-end
+            # python-level call, which included 0.5-1 s of tunnel dispatch
+            # latency — not comparable.
             extras["radiosity_s"] = round(rad_dt, 2)
             extras["radiosity_rays_per_texel"] = RADIOSITY_RAYS
             if rad_stats:
