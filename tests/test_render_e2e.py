@@ -333,3 +333,40 @@ def test_texel_cap_refusal_flagship_density():
         layout.parse_layout(
             img, np.float32(1.0) / np.float32(30.0), 200.0 * 1024
         )
+
+
+def test_wide_engine_texel_id_guard(monkeypatch):
+    """scene.num_texels >= 2^24 must force the photon_pallas dispatch onto
+    the XLA engine with a warning (render.py: Pallas texel ids are
+    f32-exact only below 2^24) instead of producing corrupted splats. The
+    backend is faked to 'tpu' so the guard (which sits behind the
+    off-TPU fallback) is actually reached; the XLA engine then runs on
+    the CPU."""
+    import dataclasses as dc
+    import io
+    import sys
+    from contextlib import redirect_stderr
+
+    import jax
+
+    from flatmatch_tpu.render import run_engine
+    from flatmatch_tpu.scene import geometry, image as im, layout
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, np.float32(1.0) / np.float32(30.0), 200.0)
+    big = dc.replace(lay, num_texels=1 << 24)
+    scene = geometry.Scene(big)
+
+    cfg = _cfg(Engine.PHOTON_PALLAS)
+    cfg = cfg.replace(photon=dataclasses.replace(
+        cfg.photon, samples_per_area=500.0, photons_per_batch=256
+    ))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    err = io.StringIO()
+    with redirect_stderr(err):
+        texels = run_engine(scene, cfg, mesh=None)
+    assert "2^24" in err.getvalue()
+    assert texels.shape == (1 << 24, 3)
+    # the real walls' span still received light
+    assert np.isfinite(texels).all()
+    assert texels[: lay.num_texels].sum() > 0
