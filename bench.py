@@ -71,8 +71,9 @@ RADIOSITY_RAYS = int(os.environ.get("FLATMATCH_BENCH_RADIOSITY_RAYS", 1000))
 # dependency-carrying lax.fori_loop over the full pass), so a
 # dispatch-latency spike through the tunnel is amortized to 1/K of one
 # measurement instead of dominating it. K is sized so each program runs
-# >= 2 s of steady-state device time.
-AO_REPS = int(os.environ.get("FLATMATCH_BENCH_AO_REPS", 16))
+# >= ~2 s of steady-state device time (AO: 64 x 28.8 ms fused / 47.6 ms
+# chunked).
+AO_REPS = int(os.environ.get("FLATMATCH_BENCH_AO_REPS", 64))
 RAD_REPS = int(os.environ.get("FLATMATCH_BENCH_RAD_REPS", 4))
 DIFF_FWD_REPS = int(os.environ.get("FLATMATCH_BENCH_DIFF_FWD_REPS", 4))
 DIFF_GRAD_REPS = int(os.environ.get("FLATMATCH_BENCH_DIFF_GRAD_REPS", 3))

@@ -87,15 +87,15 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         action="store_true",
         default=True,
         help="AO with in-kernel ray synthesis — the production default "
-        "(1.42B vs 860M texel-rays/s steady state on v5e, round 5); "
-        "single-chip only, constant HBM footprint in scene size",
+        "(1.42B vs 860M texel-rays/s steady state on v5e, round 5), "
+        "single-chip and sharded; constant HBM footprint in scene size",
     )
     p.add_argument(
         "--ao-chunked",
         dest="ao_fused",
         action="store_false",
-        help="AO with the chunked ray-expansion pass (the sharded engine "
-        "always uses this; single-chip opt-out of --ao-fused)",
+        help="AO with the chunked ray-expansion pass (opt-out of "
+        "--ao-fused)",
     )
     p.add_argument("--out", default=".", help="output directory")
     p.add_argument(

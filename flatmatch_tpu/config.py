@@ -111,8 +111,9 @@ class AoConfig:
     # footprint in scene size. PRODUCTION DEFAULT since round 5: at
     # steady state (in-program repetition) it measures 28.8 ms/pass vs
     # the chunked pass's 47.6 ms on example.png/v5e — the round-4
-    # "at parity" read was a dispatch-noise artifact. Single-chip only
-    # (the sharded AO path uses the chunked pass); --ao-chunked opts out.
+    # "at parity" read was a dispatch-noise artifact. Used single-chip
+    # (ao_pallas.render_ao_fused) and sharded (mesh.render_ao_fused_sharded);
+    # --ao-chunked opts out.
     fused: bool = True
 
 

@@ -334,13 +334,8 @@ def make_diff_renderer_wide(
         trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
-    cfg, degrade_reason = maybe_degrade_splat(
-        cfg, compact_aa(aa, num_texels)[1]
-    )
-    if degrade_reason is not None:
-        from ..utils.progress import warn
-
-        warn(degrade_reason)
+    aa_c, total_c, expand = compact_aa(aa, num_texels)
+    cfg = maybe_degrade_splat(cfg, total_c)
     fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
     i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused
@@ -361,7 +356,6 @@ def make_diff_renderer_wide(
     key = jax.random.PRNGKey(cfg.seed)
     perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)  # slot -> rect index
     N = int(perm.shape[0])
-    aa_c, total_c, expand = compact_aa(aa, num_texels)
     arena_pos = jnp.asarray(compact_arena_positions(aa), jnp.int32)
 
     def emitter_slice(e):
@@ -547,13 +541,8 @@ def make_diff_renderer_sharded_wide(
         trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
 
-    cfg, degrade_reason = maybe_degrade_splat(
-        cfg, compact_aa(aa, num_texels)[1]
-    )
-    if degrade_reason is not None:
-        from ..utils.progress import warn
-
-        warn(degrade_reason)
+    aa_c, total_c, expand = compact_aa(aa, num_texels)
+    cfg = maybe_degrade_splat(cfg, total_c)
     fused = cfg.splat in ("inkernel", "fused", "inkernel_i8", "fused_i8")
     i8 = fused and cfg.splat.endswith("_i8")
     device_rng = bool(cfg.device_rng) and fused
@@ -576,7 +565,6 @@ def make_diff_renderer_sharded_wide(
     key = jax.random.PRNGKey(cfg.seed)
     perm = jnp.asarray(np.asarray(aa.perm), jnp.int32)
     N = int(perm.shape[0])
-    aa_c, total_c, expand = compact_aa(aa, num_texels)
     arena_pos = jnp.asarray(compact_arena_positions(aa), jnp.int32)
     repl = P()
 

@@ -494,6 +494,19 @@ def _ao_fused_prep(scene: Scene, cfg: AoConfig, sublanes: int):
             gather_idx, norm)
 
 
+def ao_fused_write_back(scene: Scene, sums, gather_idx, norm) -> np.ndarray:
+    """Gather the fused pass's padded per-block sums back into the texel
+    arena (grayscale broadcast, photonmap.c:474-475) — the ONE write-back
+    shared by the single-chip and sharded fused paths (their bit-identity
+    is gated by test_sharded_fused_ao_bit_identical)."""
+    texels = np.zeros((scene.num_texels, 3), f32)
+    for w in scene.walls:
+        n = num_tiles(w)
+        vals = sums[gather_idx[w.base : w.base + n]] / norm
+        texels[w.base : w.base + n] = vals[:, None]
+    return texels
+
+
 def render_ao_fused(
     scene: Scene, aa: AARectsDev, cfg: AoConfig, sublanes: int = 64,
     unroll: "int | None" = None,
@@ -507,13 +520,7 @@ def render_ao_fused(
         aa.fields, wall_ids, centers8, dirs3, facrow, aa.group_counts,
         S_T, n_kblocks, float(cfg.sky_distance), unroll,
     ))
-
-    texels = np.zeros((scene.num_texels, 3), f32)
-    for w in scene.walls:
-        n = num_tiles(w)
-        vals = sums[gather_idx[w.base : w.base + n]] / norm
-        texels[w.base : w.base + n] = vals[:, None]
-    return texels
+    return ao_fused_write_back(scene, sums, gather_idx, norm)
 
 
 def make_ao_fused_energy_timed(

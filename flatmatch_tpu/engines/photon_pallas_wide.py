@@ -885,28 +885,30 @@ def _acc_h(num_texels: int) -> int:
 FUSED_ACC_VMEM_LIMIT_BYTES = 6_300_000
 
 
-def maybe_degrade_splat(cfg: PhotonConfig, total_c: int):
+def maybe_degrade_splat(cfg: PhotonConfig, total_c: int) -> PhotonConfig:
     """cfg with the fused in-kernel splat degraded to the exact
     deposit-stream tier when the accumulator exceeds the measured VMEM
-    ceiling (see FUSED_ACC_VMEM_LIMIT_BYTES). Returns (cfg, reason|None);
-    callers warn with the reason. The scatter tier is the EXACT f32 splat
-    (same draws, same physics — only the splat mechanism changes), so the
-    degradation is semantics-preserving up to i8 quantization the fused
-    tier would have applied."""
+    ceiling (see FUSED_ACC_VMEM_LIMIT_BYTES); WARNS itself, so a wide
+    entry point can never degrade silently. The scatter tier is the
+    EXACT f32 splat (same draws, same physics — only the splat mechanism
+    changes), so the degradation is semantics-preserving up to i8
+    quantization the fused tier would have applied."""
     if cfg.splat not in ("inkernel", "fused", "inkernel_i8", "fused_i8"):
-        return cfg, None
+        return cfg
     acc = _acc_h(total_c) * 3 * LANES * 4
     if acc <= FUSED_ACC_VMEM_LIMIT_BYTES:
-        return cfg, None
+        return cfg
     import dataclasses
 
-    reason = (
+    from ..utils.progress import warn
+
+    warn(
         f"fused in-kernel splat accumulator needs {acc / 1e6:.1f} MB VMEM "
         f"(measured v5e ceiling {FUSED_ACC_VMEM_LIMIT_BYTES / 1e6:.1f} MB "
         f"at {total_c} compact texels); using the exact deposit-stream "
         f"splat tier"
     )
-    return dataclasses.replace(cfg, splat="scatter"), reason
+    return dataclasses.replace(cfg, splat="scatter")
 
 
 def acc_to_lightmap(acc: jnp.ndarray, num_texels: int) -> jnp.ndarray:
@@ -1753,11 +1755,7 @@ def render_photons(
         sublanes //= 2
     key = jax.random.PRNGKey(cfg.seed)
     aa_c, total_c, expand = compact_aa(aa, num_texels)
-    cfg, degrade_reason = maybe_degrade_splat(cfg, total_c)
-    if degrade_reason is not None:
-        from ..utils.progress import warn
-
-        warn(degrade_reason)
+    cfg = maybe_degrade_splat(cfg, total_c)
 
     if checkpoint_path is None and on_segment is None:
         # fast path: one device program for the whole schedule

@@ -358,11 +358,7 @@ def render_photons_sharded_wide(
     # VMEM ceiling applies per chip exactly as single-chip
     from ..engines.photon_pallas_wide import maybe_degrade_splat
 
-    cfg, degrade_reason = maybe_degrade_splat(cfg, total_c)
-    if degrade_reason is not None:
-        from ..utils.progress import warn
-
-        warn(degrade_reason)
+    cfg = maybe_degrade_splat(cfg, total_c)
 
     if checkpoint_path is None and on_segment is None:
         # fast path: the whole schedule as one sharded program, one psum
@@ -433,10 +429,10 @@ def render_ao_fused_sharded(
     geometry."""
     import numpy as np
 
-    from ..engines.ao_pallas import _ao_fused, _ao_fused_prep
-    from ..scene.rectangle import num_tiles
+    from ..engines.ao_pallas import (
+        _ao_fused, _ao_fused_prep, ao_fused_write_back,
+    )
 
-    f32 = np.float32
     mesh = mesh or photon_mesh()
     n_dev = mesh.shape["photons"]
 
@@ -480,13 +476,7 @@ def render_ao_fused_sharded(
     sums = np.asarray(
         run(wall_ids, centers8, aa.fields, dirs3, facrow)
     )[:rows]
-
-    texels = np.zeros((scene.num_texels, 3), f32)
-    for w in scene.walls:
-        n = num_tiles(w)
-        vals = sums[gather_idx[w.base : w.base + n]] / norm
-        texels[w.base : w.base + n] = vals[:, None]
-    return texels
+    return ao_fused_write_back(scene, sums, gather_idx, norm)
 
 
 def render_ao_sharded(

@@ -445,18 +445,22 @@ def test_fused_splat_capacity_degradation(tiny, monkeypatch):
     aa = pack_aa(scene.walls)
     W = photon_pallas_wide
 
+    import io
+    from contextlib import redirect_stderr
+
     cfg_fused = dataclasses.replace(CFG, splat="inkernel")
     # arithmetic: below the limit nothing changes
-    out_cfg, reason = W.maybe_degrade_splat(cfg_fused, 10_000)
-    assert out_cfg is cfg_fused and reason is None
+    assert W.maybe_degrade_splat(cfg_fused, 10_000) is cfg_fused
     # non-fused tiers are never touched
-    out_cfg, reason = W.maybe_degrade_splat(CFG, 1 << 30)
-    assert out_cfg is CFG and reason is None
+    assert W.maybe_degrade_splat(CFG, 1 << 30) is CFG
 
     monkeypatch.setattr(W, "FUSED_ACC_VMEM_LIMIT_BYTES", 1024)
-    out_cfg, reason = W.maybe_degrade_splat(cfg_fused, 10_000)
+    err = io.StringIO()
+    with redirect_stderr(err):
+        out_cfg = W.maybe_degrade_splat(cfg_fused, 10_000)
     assert out_cfg.splat == "scatter"
-    assert reason is not None and "VMEM" in reason
+    # the helper warns ITSELF, so no entry point can degrade silently
+    assert "VMEM" in err.getvalue()
 
     with pltpu.force_tpu_interpret_mode():
         degraded = np.asarray(photon_pallas_wide.render_photons(
