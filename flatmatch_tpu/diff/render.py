@@ -271,6 +271,31 @@ def make_diff_renderer_sharded(
     return jax.jit(render)
 
 
+def _make_scale_pair(cfg: PhotonConfig, D: int):
+    """Dynamic i8 quantization grid, shared by the single-chip and sharded
+    wide diff renderers (their grids must be bit-equal for the sharded
+    forward to reduce to the single-chip one): covers the parameter-scaled
+    deposit bound max emitter channel * max(1,|power[e]|) *
+    max(1, max albedo)^D. The albedo bound is taken over the PERMUTED slot
+    vector albedo_aa — the albedos actually reachable by deposits — not
+    the raw (possibly padded) parameter vector, so unused entries cannot
+    inflate the grid. corr multiplies the PRODUCTION host constants, so at
+    power<=1, albedo<=1 it is exactly 1.0 and both scale and inv_scale are
+    bit-equal to the production i8 splat's."""
+    from ..engines.photon_pallas_wide import splat_color_scale
+
+    base_s = np.float32(splat_color_scale(cfg))
+    base_inv = np.float32(1.0 / splat_color_scale(cfg))
+
+    def scale_pair(e, albedo_aa, power):
+        corr = jnp.maximum(
+            jnp.float32(1.0), jnp.abs(power[e])
+        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo_aa)) ** D
+        return base_s * corr, base_inv / corr
+
+    return scale_pair
+
+
 def make_diff_renderer_wide(
     rects: RectsDev,
     emitters: EmittersDev,
@@ -329,9 +354,9 @@ def make_diff_renderer_wide(
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, maybe_degrade_splat, splat_color_scale,
-        trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
-        trace_splat_wide_diff, trace_splat_wide_diff_rng,
+        cotangent_t, maybe_degrade_splat, trace_deposits_wide_diff,
+        trace_fold_wide, trace_fold_wide_rng, trace_splat_wide_diff,
+        trace_splat_wide_diff_rng,
     )
 
     aa_c, total_c, expand = compact_aa(aa, num_texels)
@@ -374,24 +399,7 @@ def make_diff_renderer_wide(
             i == n_batches - 1, jnp.int32(last_valid), jnp.int32(B)
         )
 
-    base_s = np.float32(splat_color_scale(cfg))
-    base_inv = np.float32(1.0 / splat_color_scale(cfg))
-
-    def scale_pair(e, albedo_aa, power):
-        """Dynamic i8 quantization grid covering the parameter-scaled
-        deposit bound: max emitter channel * max(1,|power[e]|) *
-        max(1, max albedo)^D. The albedo bound is taken over the PERMUTED
-        slot vector albedo_aa — the albedos actually reachable by deposits
-        — not the raw (possibly padded) parameter vector, so unused
-        entries cannot inflate the grid and the single-chip and sharded
-        renderers quantize on the same grid. corr multiplies the
-        PRODUCTION host constants, so at power<=1, albedo<=1 it is
-        exactly 1.0 and both scale and inv_scale are bit-equal to the
-        production i8 splat's."""
-        corr = jnp.maximum(
-            jnp.float32(1.0), jnp.abs(power[e])
-        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo_aa)) ** D
-        return base_s * corr, base_inv / corr
+    scale_pair = _make_scale_pair(cfg, D)
 
     def tail_batch_size(last_valid):
         """Power-of-two-reduced tail grid (photon_pallas_wide
@@ -536,7 +544,7 @@ def make_diff_renderer_sharded_wide(
     from ..engines.photon_pallas import emitter_vector
     from ..engines.photon_pallas_wide import (
         LANES, _splat, batch_seed, compact_aa, compact_arena_positions,
-        cotangent_t, device_seed, maybe_degrade_splat, splat_color_scale,
+        cotangent_t, device_seed, maybe_degrade_splat,
         trace_deposits_wide_diff, trace_fold_wide, trace_fold_wide_rng,
         trace_splat_wide_diff, trace_splat_wide_diff_rng,
     )
@@ -574,17 +582,7 @@ def make_diff_renderer_sharded_wide(
     def em_vec_scaled(e, power):
         return emitter_vector(emitter_slice(e)).at[:, 12:15].mul(power[e])
 
-    base_s = np.float32(splat_color_scale(cfg))
-    base_inv = np.float32(1.0 / splat_color_scale(cfg))
-    D_ = cfg.max_depth
-
-    def scale_pair(e, albedo_aa, power):
-        # dynamic i8 grid over the permuted slot albedos (the tight
-        # reachable bound); see make_diff_renderer_wide.scale_pair
-        corr = jnp.maximum(
-            jnp.float32(1.0), jnp.abs(power[e])
-        ) * jnp.maximum(jnp.float32(1.0), jnp.max(albedo_aa)) ** D_
-        return base_s * corr, base_inv / corr
+    scale_pair = _make_scale_pair(cfg, cfg.max_depth)
 
     def local_batch(i, ax, base_batch):
         k = jax.random.fold_in(key, base_batch + i)

@@ -344,12 +344,15 @@ def _make_kernel(cfg: PhotonConfig, S: int, group_counts, U: int,
                     dist = jnp.where(valid, fac, _MISS)
                     upd = dist < best
                     if no_texel:
-                        # MEASUREMENT-ONLY twin (tools/cull_experiment.py
-                        # sibling): drops the 9 texel-addressing ops per
-                        # rect to bound what deferring the address compute
-                        # to a post-loop epilogue could win. Wrong
-                        # results; never set on production paths.
-                        texel = fac
+                        # MEASUREMENT-ONLY twin
+                        # (tools/texel_deferral_experiment.py): drops the
+                        # 9 texel-addressing ops per rect to bound what
+                        # deferring the address compute to a post-loop
+                        # epilogue could win. The constant-0 id is IN
+                        # RANGE for every splat tier (everything bins to
+                        # texel 0) but the results are wrong; never set
+                        # on production paths.
+                        texel = jnp.zeros_like(fac)
                     else:
                         wt = scene_ref[A_WT, j]
                         # lower clip dropped: winning lanes (upd) are
@@ -881,8 +884,10 @@ def _acc_h(num_texels: int) -> int:
 # The trace kernel itself is NOT the ceiling: the deposit-stream
 # ('scatter') tier compiles and stays exact at 3x3 (78.6 KB SMEM scene
 # block), so past this limit the engine degrades to that tier instead of
-# failing opaquely. Threshold = the largest measured-good footprint.
-FUSED_ACC_VMEM_LIMIT_BYTES = 6_300_000
+# failing opaquely. Threshold = EXACTLY the largest measured-good
+# footprint (the 3x2 tiling's _acc_h(510336) * 384 * 4 bytes); the
+# unmeasured band up to the 9.19 MB failure stays behind the gate.
+FUSED_ACC_VMEM_LIMIT_BYTES = 6_131_712
 
 
 def maybe_degrade_splat(cfg: PhotonConfig, total_c: int) -> PhotonConfig:
@@ -890,9 +895,13 @@ def maybe_degrade_splat(cfg: PhotonConfig, total_c: int) -> PhotonConfig:
     deposit-stream tier when the accumulator exceeds the measured VMEM
     ceiling (see FUSED_ACC_VMEM_LIMIT_BYTES); WARNS itself, so a wide
     entry point can never degrade silently. The scatter tier is the
-    EXACT f32 splat (same draws, same physics — only the splat mechanism
-    changes), so the degradation is semantics-preserving up to i8
-    quantization the fused tier would have applied."""
+    EXACT f32 splat; on the production engines it keeps cfg.device_rng's
+    draw source (trace_deposits_wide_rng), so degradation changes only
+    the splat mechanism. CAVEAT (diff renderers): their deposit-stream
+    tier is threefry-only (no trace_deposits_wide_diff_rng variant), so
+    a degraded device_rng diff render draws a DIFFERENT photon
+    realization than the production engine — statistically equivalent
+    (same estimator) and gradient-exact, but not draw-identical."""
     if cfg.splat not in ("inkernel", "fused", "inkernel_i8", "fused_i8"):
         return cfg
     acc = _acc_h(total_c) * 3 * LANES * 4

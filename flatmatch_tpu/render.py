@@ -69,11 +69,7 @@ def supersampled_scene(
         total += num_mipmap_texels(r2)
         walls.append(r2)
     # same 1 GB arena cap as the scene compiler (parseLayout.c:520-524)
-    if total * 16 > cfg.scene.texel_cap_bytes:
-        raise MemoryError(
-            f"supersample={ss}: texel arena would need {total * 16 / 1e9:.2f}"
-            f" GB (cap {cfg.scene.texel_cap_bytes / 1e9:.2f} GB)"
-        )
+    layout.check_texel_cap(total, cfg.scene, context=f"supersample={ss}: ")
     lay2 = dataclasses.replace(lay, walls=walls, num_texels=total)
     return geometry.Scene(lay2)
 

@@ -329,10 +329,17 @@ def parse_layout(
     for r in out.walls:
         r.base = total
         total += num_mipmap_texels(r)
-    if total * 16 > cfg.texel_cap_bytes:
-        raise MemoryError(
-            f"texel arena would need {total * 16 / 1e9:.2f} GB "
-            f"(cap {cfg.texel_cap_bytes / 1e9:.2f} GB)"
-        )
+    check_texel_cap(total, cfg)
     out.num_texels = total
     return out
+
+
+def check_texel_cap(total: int, cfg: SceneConfig, context: str = ""):
+    """The reference's 1 GB texel-arena refusal (parseLayout.c:520-524,
+    16 bytes per cl_float4 texel) — the ONE cap check, shared by the
+    scene compiler and the supersampled-twin builder (render.py)."""
+    if total * 16 > cfg.texel_cap_bytes:
+        raise MemoryError(
+            f"{context}texel arena would need {total * 16 / 1e9:.2f} GB "
+            f"(cap {cfg.texel_cap_bytes / 1e9:.2f} GB)"
+        )
