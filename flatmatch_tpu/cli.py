@@ -87,7 +87,7 @@ def _add_engine_flags(p: argparse.ArgumentParser):
         action="store_true",
         default=True,
         help="AO with in-kernel ray synthesis — the production default "
-        "(1.42B vs 860M texel-rays/s steady state on v5e, round 5), "
+        "(1.48B vs 883M texel-rays/s steady state on v5e, round 5), "
         "single-chip and sharded; constant HBM footprint in scene size",
     )
     p.add_argument(

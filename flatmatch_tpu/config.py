@@ -109,7 +109,7 @@ class AoConfig:
     texels_per_chunk: int = 512           # TPU batching knob
     # in-kernel ray synthesis (ao_pallas.render_ao_fused): constant HBM
     # footprint in scene size. PRODUCTION DEFAULT since round 5: at
-    # steady state (in-program repetition) it measures 28.8 ms/pass vs
+    # steady state (in-program repetition) it measures 27.6 ms/pass vs
     # the chunked pass's 47.6 ms on example.png/v5e — the round-4
     # "at parity" read was a dispatch-noise artifact. Used single-chip
     # (ao_pallas.render_ao_fused) and sharded (mesh.render_ao_fused_sharded);
