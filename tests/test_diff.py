@@ -598,3 +598,60 @@ def test_fit_layout_rejects_mismatched_target(tmp_path):
         # scale 15 halves the texel grid -> dimension mismatch
         fit_layout(str(FIXTURES / "tiny.png"), str(tmp_path / "tiles"),
                    15.0, cfg, steps=1)
+
+
+def test_diff_renderer_degrades_fused_splat(monkeypatch):
+    """Past the fused-splat VMEM ceiling the wide diff renderer degrades
+    to its exact deposit-stream tier (threefry draws — see the
+    maybe_degrade_splat docstring's draw-source caveat): forced by
+    shrinking the limit; forward AND gradients equal an explicit
+    scatter-tier renderer's."""
+    import dataclasses
+    import io
+    from contextlib import redirect_stderr
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.diff.render import make_diff_renderer_wide
+    from flatmatch_tpu.engines import photon_pallas_wide as W
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.ops.device_scene import pack_emitters, pack_rects
+    from flatmatch_tpu.scene import geometry, image as im, layout
+    from tests.conftest import FIXTURES
+
+    img = im.load_layout(str(FIXTURES / "tiny.png"))
+    lay = layout.parse_layout(img, f32(1.0) / f32(30.0), 200.0)
+    scene = geometry.Scene(lay)
+    cfg_fused = PhotonConfig(
+        samples_per_area=3000.0, photons_per_batch=512, seed=5,
+        splat="inkernel",
+    )
+    cfg_scatter = dataclasses.replace(cfg_fused, splat="scatter")
+    rects = pack_rects(scene.walls)
+    emitters = pack_emitters(
+        scene, cfg_fused.samples_per_area, cfg_fused.window_color,
+        cfg_fused.light_color,
+    )
+    aa = pack_aa(scene.walls)
+    albedo = jnp.full((len(scene.walls),), 0.8, jnp.float32)
+    power = jnp.full((emitters.pos.shape[0],), 1.1, jnp.float32)
+
+    def run(cfg):
+        render = make_diff_renderer_wide(
+            rects, emitters, scene.num_texels, cfg, aa, sublanes=1
+        )
+        v, (ga, gp) = jax.value_and_grad(
+            lambda a, p: render(a, p).sum(), argnums=(0, 1)
+        )(albedo, power)
+        return float(v), np.asarray(ga), np.asarray(gp)
+
+    monkeypatch.setattr(W, "FUSED_ACC_VMEM_LIMIT_BYTES", 1024)
+    err = io.StringIO()
+    with pltpu.force_tpu_interpret_mode(), redirect_stderr(err):
+        v_d, ga_d, gp_d = run(cfg_fused)
+        v_s, ga_s, gp_s = run(cfg_scatter)
+    assert "VMEM" in err.getvalue()
+    np.testing.assert_allclose(v_d, v_s, rtol=1e-6)
+    np.testing.assert_allclose(ga_d, ga_s, rtol=1e-6)
+    np.testing.assert_allclose(gp_d, gp_s, rtol=1e-6)
+    assert np.abs(ga_d).sum() > 0

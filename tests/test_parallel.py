@@ -372,3 +372,43 @@ def test_sharded_segment_lowers_one_psum_and_local_batches(tiny):
     assert txt.count("all_reduce") == 1, txt.count("all_reduce")
     assert f"tensor<{b_local}x{U}xf32>" in txt, "shard-local uniforms"
     assert f"tensor<{B}x{U}xf32>" not in txt, "global-size uniforms leaked"
+
+
+def test_sharded_wide_degrades_fused_splat(tiny, monkeypatch):
+    """Past the fused-splat VMEM ceiling the SHARDED wide engine degrades
+    to the deposit-stream tier exactly like the single-chip one (the
+    replicated accumulator makes the per-chip footprint identical):
+    forced by shrinking the limit; output equals an explicit scatter-tier
+    sharded run."""
+    import dataclasses
+    import io
+    from contextlib import redirect_stderr
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from flatmatch_tpu.engines import photon_pallas_wide as W
+    from flatmatch_tpu.ops.aa_scene import pack_aa
+    from flatmatch_tpu.parallel.mesh import render_photons_sharded_wide
+
+    scene, rects, emitters = tiny
+    aa = pack_aa(scene.walls)
+    cfg_fused = dataclasses.replace(
+        CFG, splat="inkernel", photons_per_batch=512,
+        samples_per_area=5000.0,
+    )
+    cfg_scatter = dataclasses.replace(cfg_fused, splat="scatter")
+    mesh = photon_mesh(jax.devices()[:2])
+    monkeypatch.setattr(W, "FUSED_ACC_VMEM_LIMIT_BYTES", 1024)
+    err = io.StringIO()
+    with pltpu.force_tpu_interpret_mode(), redirect_stderr(err):
+        degraded = np.asarray(render_photons_sharded_wide(
+            rects, emitters, scene.num_texels, cfg_fused, aa, mesh,
+            sublanes=1,
+        ))
+        scatter = np.asarray(render_photons_sharded_wide(
+            rects, emitters, scene.num_texels, cfg_scatter, aa, mesh,
+            sublanes=1,
+        ))
+    assert "VMEM" in err.getvalue()
+    np.testing.assert_array_equal(degraded, scatter)
+    assert degraded.sum() > 0
